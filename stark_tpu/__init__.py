@@ -1,0 +1,40 @@
+"""stark_tpu — a TPU-native STARK proving framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the full STARK pipeline the
+reference Rust crate (`stark-101`, /root/reference) defines or intended:
+
+    prime field  ->  trace  ->  LDE (NTT)  ->  composition polynomial
+                 ->  Merkle commitment  ->  Fiat-Shamir channel
+                 ->  FRI commit / fold / query  ->  proof
+
+Design principles (TPU-first, not a port):
+
+* All device field math is pure ``uint32`` — modular mul via 16-bit limb
+  decomposition + Montgomery reduction, so the same code runs in plain XLA
+  and inside Pallas kernels without 64-bit emulation.
+* Polynomials live in *evaluation form* on 2-adic cosets; coefficients
+  appear only through NTT/INTT (Stockham autosort — no bit-reversal
+  gathers, every stage is reshape/slice/elementwise, which XLA fuses).
+* The Fiat-Shamir transcript is host-side and byte-exact with the
+  reference's ``Channel`` (hex-string SHA-256 state machine,
+  reference: src/channel/channel.rs:35-84).
+* Merkle trees hash on-device (batched SHA-256 over lanes, a pure VPU
+  workload); roots/auth paths are extracted host-side with rs_merkle's
+  exact node semantics (reference: src/merkle/mod.rs:10-26).
+* Multi-chip: the evaluation domain is sharded over a ``jax.sharding.Mesh``;
+  the distributed NTT is the four-step algorithm (local NTT + twiddle +
+  all-to-all transpose + local NTT) riding ICI.
+"""
+
+from stark_tpu.fields import FieldElement, Fp
+from stark_tpu.config import ProverConfig, DEFAULT_MODULUS, DEFAULT_GENERATOR
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FieldElement",
+    "Fp",
+    "ProverConfig",
+    "DEFAULT_MODULUS",
+    "DEFAULT_GENERATOR",
+]
