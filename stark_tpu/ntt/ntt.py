@@ -1,0 +1,182 @@
+"""Device NTT/INTT and low-degree extension — the TPU compute path.
+
+Radix-2 Stockham autosort NTT over GF(p) on uint32 arrays:
+
+* no bit-reversal permutation and no gathers — every stage is a
+  reshape + contiguous slice + butterfly (add/sub + one Montgomery mul),
+  which XLA fuses and lays out without scatter/gather traffic;
+* data stays in the Montgomery domain across all log2(n) stages
+  (one to_mont on entry, one from_mont on exit);
+* twiddle tables are built on device with log-depth doubling and cached
+  per (modulus, size, direction).
+
+This is the production replacement for the reference's O(n^2) Lagrange
+stack (reference: src/polynomial/interpolation.rs:80-151) and the "blowup"
+stub (reference: src/trace/blowup.rs, 0 bytes): LDE = INTT -> coefficient
+scale -> zero-pad -> NTT on the larger coset.
+
+The host oracle with the identical dataflow lives in
+stark_tpu.ntt.reference_ntt; tests cross-check stage-for-stage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from stark_tpu.fields.fp import Fp
+from stark_tpu.ntt.reference_ntt import ntt_available, root_of_unity
+
+_U32 = jnp.uint32
+
+
+@functools.lru_cache(maxsize=None)
+def get_plan(p: int, n: int, inverse: bool = False) -> "NTTPlan":
+    return NTTPlan(p, n, inverse)
+
+
+class NTTPlan:
+    """Compiled NTT of fixed size n over GF(p).  Use :func:`get_plan`."""
+
+    def __init__(self, p: int, n: int, inverse: bool):
+        if n & (n - 1) or n < 1:
+            raise ValueError(f"NTT size must be a power of two, got {n}")
+        if not ntt_available(p, n):
+            raise ValueError(f"GF({p}) has no order-{n} subgroup")
+        self.p = p
+        self.n = n
+        self.inverse = inverse
+        self.fp = Fp.get(p)
+        w = root_of_unity(p, n)
+        if inverse:
+            w = pow(w, p - 2, p)
+        self.w = w
+        # Twiddles per stage, Montgomery form.  Stage with half-length lh
+        # needs [wl^0 .. wl^(lh-1)], wl = w^(n/l) (a primitive l-th root).
+        f = self.fp
+        tw = []
+        l = n
+        while l > 1:
+            lh = l // 2
+            wl = pow(w, n // l, p)
+            t = f.jit_to_mont(f.jit_powers(wl, lh)) if lh > 1 else jnp.full(
+                (1,), _U32(f.r)
+            )
+            tw.append(t)
+            l = lh
+        self._twiddles = tuple(tw)
+        self._ninv_mont = _U32(pow(n, p - 2, p) * f.r % p)  # mont(n^-1)
+        self._jit = jax.jit(self._transform)
+
+    # -- core -------------------------------------------------------------
+    def _stages(self, xm, twiddles):
+        """All butterfly stages; input/output in Montgomery domain,
+        natural order in and out (Stockham autosort)."""
+        f = self.fp
+        n = self.n
+        l, m = n, 1
+        for t in twiddles:
+            lh = l // 2
+            v = xm.reshape(l, m)
+            a, b = v[:lh], v[lh:]
+            top = f.add(a, b)
+            bot = f.mont_mul(t[:, None], f.sub(a, b))
+            xm = jnp.stack([top, bot], axis=1).reshape(n)
+            l, m = lh, m * 2
+        return xm
+
+    def _transform(self, x, twiddles):
+        f = self.fp
+        xm = f.to_mont(x)
+        xm = self._stages(xm, twiddles)
+        if self.inverse:
+            xm = f.mont_mul(xm, self._ninv_mont)
+        return f.from_mont(xm)
+
+    def __call__(self, x) -> jax.Array:
+        """Transform canonical uint32 array of shape (n,)."""
+        return self._jit(x, self._twiddles)
+
+    # Montgomery-domain entry for fusing into larger jitted pipelines.
+    def mont_stages(self, xm):
+        out = self._stages(xm, self._twiddles)
+        if self.inverse:
+            out = self.fp.mont_mul(out, self._ninv_mont)
+        return out
+
+
+# -- public functional API ---------------------------------------------------
+def ntt(x, p: int) -> jax.Array:
+    """Forward NTT, natural order: X[k] = sum_j x[j] w^(jk)."""
+    return get_plan(p, int(x.shape[-1]), False)(x)
+
+
+def intt(x, p: int) -> jax.Array:
+    """Inverse NTT (includes the n^-1 scale)."""
+    return get_plan(p, int(x.shape[-1]), True)(x)
+
+
+@functools.lru_cache(maxsize=None)
+def _lde_jit(p: int, n: int, big_n: int, offset: int):
+    """coeff-domain pipeline: INTT_n -> scale by offset^i -> pad -> NTT_N."""
+    f = Fp.get(p)
+    plan_i = get_plan(p, n, True)
+    plan_f = get_plan(p, big_n, False)
+
+    def run(values):
+        coeffs = plan_i(values)
+        shifted = f.mul(coeffs, f.powers(offset, n))
+        padded = jnp.zeros((big_n,), dtype=_U32).at[:n].set(shifted)
+        return plan_f(padded)
+
+    return jax.jit(run)
+
+
+def lde(values, p: int, blowup: int, offset: int) -> jax.Array:
+    """Low-degree extension ("blowup", the reference's empty
+    src/trace/blowup.rs): interpret `values` as evaluations on the size-n
+    subgroup (natural w^i order), return evaluations of the same polynomial
+    on the coset {offset * W^i} of size blowup*n, where W is the canonical
+    primitive (blowup*n)-th root.
+    """
+    n = int(values.shape[-1])
+    return _lde_jit(p, n, blowup * n, int(offset) % p)(values)
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_eval_jit(p: int, n: int, big_n: int, offset: int):
+    f = Fp.get(p)
+    plan_f = get_plan(p, big_n, False)
+
+    def run(coeffs):
+        shifted = f.mul(coeffs, f.powers(offset, n))
+        padded = jnp.zeros((big_n,), dtype=_U32).at[:n].set(shifted)
+        return plan_f(padded)
+
+    return jax.jit(run)
+
+
+def coset_evaluate(coeffs, p: int, big_n: int, offset: int) -> jax.Array:
+    """Evaluate coefficient vector on {offset * W^i : i < big_n}."""
+    return _coset_eval_jit(p, int(coeffs.shape[-1]), big_n, int(offset) % p)(coeffs)
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_interp_jit(p: int, n: int, offset: int):
+    f = Fp.get(p)
+    plan_i = get_plan(p, n, True)
+    offset_inv = pow(int(offset) % p, p - 2, p)
+
+    def run(evals):
+        coeffs = plan_i(evals)
+        return f.mul(coeffs, f.powers(offset_inv, n))
+
+    return jax.jit(run)
+
+
+def coset_interpolate(evals, p: int, offset: int) -> jax.Array:
+    """Coefficients of the polynomial whose values on {offset * w^i} are
+    `evals` (inverse of :func:`coset_evaluate` at big_n == n)."""
+    return _coset_interp_jit(p, int(evals.shape[-1]), int(offset) % p)(evals)
