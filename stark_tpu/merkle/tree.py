@@ -1,0 +1,157 @@
+"""Merkle commitment over field-element codewords.
+
+TPU-native rebuild of the reference's thin rs_merkle wrapper
+(reference: src/merkle/mod.rs:5-27), with the APIs the reference's FRI
+needed but never had (``get_authentication_path`` at fri_commit.rs:157 and
+``validate`` at fri_verify.rs:109 — neither exists in the reference):
+
+* leaf hash  = SHA-256(8-byte big-endian field value)      (merkle/mod.rs:14-16)
+* node hash  = SHA-256(left_digest || right_digest)        (rs_merkle parent)
+* odd node   = promoted unhashed to the next level         (rs_merkle v1.4)
+* root       = lowercase hex string                        (merkle/mod.rs:24-26)
+
+Leaf + node hashing is batched on device (stark_tpu.hash); authentication
+paths are extracted host-side from the stored per-level digests, and
+``validate`` is a pure host function (hashlib) usable by any verifier.
+
+Frozen auth-path wire format (the reference left it undefined): the
+concatenation of the 32-byte sibling digests from leaf level upward;
+levels where the node is promoted (no sibling) contribute nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stark_tpu.hash.sha256_jax import sha256_u64_leaves, sha256_pairs
+
+_U32 = jnp.uint32
+
+
+@functools.lru_cache(maxsize=None)
+def _build_jit(n: int):
+    """Jitted tree build for a fixed leaf count: values (n,) uint32 ->
+    tuple of digest levels [(n,8), (ceil(n/2),8), ..., (1,8)]."""
+
+    def build(values):
+        hi = jnp.zeros_like(values)  # field values < 2^32 -> high word 0
+        level = sha256_u64_leaves(hi, values)
+        levels = [level]
+        size = n
+        while size > 1:
+            half = size // 2
+            parents = sha256_pairs(level[0 : 2 * half : 2], level[1 : 2 * half : 2])
+            if size % 2:
+                parents = jnp.concatenate([parents, level[2 * half :]], axis=0)
+            level = parents
+            levels.append(level)
+            size = parents.shape[0]
+        return tuple(levels)
+
+    return jax.jit(build)
+
+
+class MerkleTree:
+    """Commitment over a vector of field elements (canonical uint32).
+
+    ``MerkleTree(values)`` hashes on device; `root()` returns lowercase hex
+    like the reference (merkle/mod.rs:24-26).
+    """
+
+    def __init__(self, values, device_levels=None):
+        if device_levels is not None:
+            self.levels = device_levels
+        else:
+            values = jnp.asarray(values, dtype=_U32)
+            if values.ndim != 1 or values.shape[0] == 0:
+                raise ValueError("MerkleTree needs a non-empty 1-D vector")
+            self.levels = _build_jit(int(values.shape[0]))(values)
+        self._host_levels: list[np.ndarray] | None = None
+
+    @property
+    def num_leaves(self) -> int:
+        return int(self.levels[0].shape[0])
+
+    def _host(self) -> list[np.ndarray]:
+        if self._host_levels is None:
+            # one device->host sync for the whole tree (digests only)
+            self._host_levels = [np.asarray(l) for l in self.levels]
+        return self._host_levels
+
+    def root(self) -> str:
+        """Lowercase hex root (merkle/mod.rs:24-26)."""
+        return self.root_bytes().hex()
+
+    def root_bytes(self) -> bytes:
+        row = self._host()[-1][0]
+        return b"".join(int(x).to_bytes(4, "big") for x in row)
+
+    def get_authentication_path(self, index: int) -> bytes:
+        """Concatenated sibling digests, leaf level upward (the API the
+        reference's FRI called into the void, fri_commit.rs:157)."""
+        if not 0 <= index < self.num_leaves:
+            raise IndexError(f"leaf index {index} out of range")
+        path = b""
+        idx = index
+        for level in self._host()[:-1]:
+            size = level.shape[0]
+            if idx == size - 1 and size % 2 == 1:
+                pass  # promoted node: no sibling at this level
+            else:
+                sib = level[idx ^ 1]
+                path += b"".join(int(x).to_bytes(4, "big") for x in sib)
+            idx //= 2
+        return path
+
+    @staticmethod
+    def validate(
+        root_hex: str,
+        proof: bytes,
+        index: int,
+        leaf_bytes: bytes,
+        num_leaves: int,
+    ) -> bool:
+        """Host-side auth-path check (the ``MerkleTree::validate`` the
+        reference's verifier needed, fri_verify.rs:109-115).
+
+        `leaf_bytes` is the raw 8-byte BE field value (hashed here, like
+        tree construction hashes values)."""
+        if index < 0 or index >= num_leaves or num_leaves <= 0:
+            return False
+        if len(proof) % 32:
+            return False
+        sibs = [proof[i : i + 32] for i in range(0, len(proof), 32)]
+        cur = hashlib.sha256(leaf_bytes).digest()
+        idx, size = index, num_leaves
+        while size > 1:
+            if idx == size - 1 and size % 2 == 1:
+                pass  # promoted
+            else:
+                if not sibs:
+                    return False
+                sib = sibs.pop(0)
+                pair = cur + sib if idx % 2 == 0 else sib + cur
+                cur = hashlib.sha256(pair).digest()
+            idx //= 2
+            size = (size + 1) // 2
+        return not sibs and cur.hex() == root_hex.lower()
+
+
+def merkle_root_host(values: list[int]) -> str:
+    """Pure-host oracle tree (hashlib), rs_merkle semantics — used in tests
+    to pin the device tree's shape."""
+    level = [hashlib.sha256(int(v).to_bytes(8, "big")).digest() for v in values]
+    while len(level) > 1:
+        nxt = [
+            hashlib.sha256(level[i] + level[i + 1]).digest()
+            for i in range(0, len(level) - 1, 2)
+        ]
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    return level[0].hex()
