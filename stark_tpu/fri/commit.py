@@ -1,0 +1,183 @@
+"""FRI commit / fold / decommit — prover side.
+
+TPU-native rebuild of the reference's disabled FRI module
+(reference: src/fri/fri_commit.rs — written but non-compiling, SURVEY
+§2.8).  Same protocol, two structural upgrades:
+
+* **Evaluation-form folding.**  The reference folds coefficients and then
+  re-evaluates the folded polynomial pointwise per layer, O(n * deg)
+  (fri_commit.rs:53-65).  Here each fold is a single O(n) fused device op
+  on the evaluations:
+
+      next[i] = (E[i] + E[i + m/2]) / 2  +  beta * (E[i] - E[i + m/2]) / (2 * D[i])
+
+  which equals even(x^2) + beta * odd(x^2) — identical to the reference's
+  ``next_fri_polynomial`` (fri_commit.rs:32-50) composed with
+  ``next_fri_domain`` (half + square, fri_commit.rs:18-24).
+* **Phase-batched Fiat-Shamir.**  Per layer the device computes fold +
+  Merkle levels; only the 32-byte root crosses to host, the channel
+  absorbs it and derives beta (host hashing), and beta returns as one
+  scalar.  This is the minimal serialization the protocol allows
+  (SURVEY §3.3).
+
+Transcript framing is reference-exact: Merkle roots are sent as the
+**UTF-8 bytes of the lowercase hex string** (``root().to_vec()``,
+fri_commit.rs:86,100), field values as 8-byte BE (fri_commit.rs:114,156).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stark_tpu.channel.channel import Channel
+from stark_tpu.fields.fp import Fp
+from stark_tpu.merkle.tree import MerkleTree
+from stark_tpu.ntt.reference_ntt import root_of_unity
+
+_U32 = jnp.uint32
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_jit(p: int, m: int):
+    """One FRI fold for layer size m: (evals[m], beta, inv_half_domain[m/2])
+    -> evals[m/2]."""
+    f = Fp.get(p)
+    inv2 = pow(2, p - 2, p)
+
+    def fold(evals, beta, inv_dom):
+        v = evals[: m // 2]
+        s = evals[m // 2 :]
+        odd = f.mul(f.mul(f.sub(v, s), inv_dom), beta)
+        return f.mul(f.add(f.add(v, s), odd), _U32(inv2))
+
+    return jax.jit(fold)
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_domain(p: int, m: int, offset: int):
+    """[1 / (offset * w^i)] for i < m/2, w the canonical order-m root."""
+    f = Fp.get(p)
+    w = root_of_unity(p, m)
+    w_inv = pow(w, p - 2, p)
+    off_inv = pow(offset % p, p - 2, p)
+    return f.jit_coset_domain(off_inv, w_inv, m // 2)
+
+
+@dataclasses.dataclass
+class FRIProof:
+    """All layers + trees + final constant (mirrors FRIProof,
+    fri_commit.rs:8-13; final_poly is the constant value since folding
+    runs to degree 0)."""
+
+    fri_layers: list[jax.Array]
+    fri_merkles: list[MerkleTree]
+    final_value: int
+    offsets: list[int]  # coset offset per layer (o, o^2, o^4, ...)
+
+
+def fri_commit(
+    evals,
+    p: int,
+    offset: int,
+    channel: Channel,
+    num_folds: int | None = None,
+    strict: bool = True,
+) -> FRIProof:
+    """Commit phase (fri_commit.rs:72-122): Merkle each layer, absorb the
+    root, draw beta, fold; finally send the constant.
+
+    `evals`: canonical uint32 evaluations on {offset * w^i : i < n}.
+    `num_folds`: folds to perform; defaults to log2(n) - 3 (stop at a
+    size-8 layer like STARK-101's 8192 -> 8).
+    """
+    n = int(evals.shape[-1])
+    if n & (n - 1):
+        raise ValueError("FRI domain size must be a power of two")
+    if num_folds is None:
+        num_folds = max(n.bit_length() - 4, 0)  # log2(n) - 3
+    if num_folds >= n.bit_length():
+        raise ValueError(f"cannot fold size {n} domain {num_folds} times")
+
+    evals = jnp.asarray(evals, dtype=_U32)
+    offset = int(offset) % p
+    layers = [evals]
+    offsets = [offset]
+    trees = [MerkleTree(evals)]
+    channel.mark_phase("fri-commit")
+    channel.send(trees[0].root().encode())
+
+    size, off = n, offset
+    for _ in range(num_folds):
+        beta = channel.receive_random_field_element()
+        evals = _fold_jit(p, size)(
+            evals, _U32(beta.value), _inv_domain(p, size, off)
+        )
+        size //= 2
+        off = off * off % p
+        layers.append(evals)
+        offsets.append(off)
+        tree = MerkleTree(evals)
+        trees.append(tree)
+        channel.send(tree.root().encode())
+
+    final_vals = np.asarray(layers[-1])
+    final_value = int(final_vals[0])
+    if strict and not np.all(final_vals == final_vals[0]):
+        raise ValueError(
+            "FRI did not fold to a constant — codeword degree exceeds "
+            "2^num_folds (proof would be rejected); pass strict=False to "
+            "emit the doomed transcript anyway (testing only)"
+        )
+    channel.send(final_value.to_bytes(8, "big"))
+    return FRIProof(layers, trees, final_value, offsets)
+
+
+def decommit_fri_layers(
+    index: int,
+    fri_layers: list,
+    fri_merkles: list[MerkleTree],
+    channel: Channel,
+    _host_layers_cache: dict | None = None,
+) -> None:
+    """Per-query decommitment (fri_commit.rs:137-165): for each layer send
+    value, auth path, sibling value, sibling path.  The reference's
+    len==1 quirk (send final value, then fall through and send it again
+    as idx/sibling, fri_commit.rs:146-148) is replicated for parity."""
+    for li, (layer, tree) in enumerate(zip(fri_layers, fri_merkles)):
+        host = None
+        if _host_layers_cache is not None:
+            host = _host_layers_cache.get(li)
+        if host is None:
+            host = np.asarray(layer)
+            if _host_layers_cache is not None:
+                _host_layers_cache[li] = host
+        length = int(host.shape[0])
+        if length == 1:
+            channel.send(int(host[0]).to_bytes(8, "big"))
+        idx = index % length
+        sib = (idx + length // 2) % length
+        channel.send(int(host[idx]).to_bytes(8, "big"))
+        channel.send(tree.get_authentication_path(idx))
+        channel.send(int(host[sib]).to_bytes(8, "big"))
+        channel.send(tree.get_authentication_path(sib))
+
+
+def decommit_fri(
+    num_queries: int,
+    max_index: int,
+    fri_layers: list,
+    fri_merkles: list[MerkleTree],
+    channel: Channel,
+) -> None:
+    """Query phase (fri_commit.rs:168-179): draw each index from the
+    channel (shown in proof), then decommit all layers."""
+    channel.mark_phase("fri-query")
+    cache: dict = {}
+    for _ in range(num_queries):
+        idx = channel.receive_random_int(0, max_index, True)
+        decommit_fri_layers(idx, fri_layers, fri_merkles, channel, cache)

@@ -1,0 +1,131 @@
+"""Top-level STARK prover — fills the reference's empty ``src/prover/``
+stub (0 bytes, SURVEY §2).  Orchestrates the full pipeline:
+
+    trace -> trace polynomial (INTT) -> LDE on coset (NTT) ->
+    Merkle-commit trace -> draw alphas -> composition polynomial ->
+    FRI commit/fold (per-layer Merkle + beta) -> per-query decommitment
+
+Host<->device traffic is the protocol minimum (SURVEY §3.3): one 32-byte
+root per commitment up, one challenge scalar down, and the opened query
+values at the end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from stark_tpu.channel.channel import Channel
+from stark_tpu.config import ProverConfig
+from stark_tpu.fri.commit import FRIProof, decommit_fri_layers, fri_commit
+from stark_tpu.merkle.tree import MerkleTree
+from stark_tpu.ntt.ntt import coset_evaluate
+from stark_tpu.stark.composition import get_context
+from stark_tpu.stark.trace import fibonacci_square_trace, trace_polynomial
+
+
+@dataclasses.dataclass
+class StarkProof:
+    """A complete proof: the transcript plus the public statement."""
+
+    proof: list[bytes]
+    a0: int
+    a_last: int
+    config: ProverConfig
+
+    def size_bytes(self) -> int:
+        return sum(len(m) for m in self.proof)
+
+    def serialize(self) -> bytes:
+        import json
+
+        return json.dumps(
+            {
+                "config": {
+                    "modulus": self.config.modulus,
+                    "generator": self.config.generator,
+                    "log2_trace": self.config.log2_trace,
+                    "blowup": self.config.blowup,
+                    "num_queries": self.config.num_queries,
+                },
+                "a0": self.a0,
+                "a_last": self.a_last,
+                "proof": [m.hex() for m in self.proof],
+            }
+        ).encode()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "StarkProof":
+        import json
+
+        obj = json.loads(data.decode())
+        c = obj["config"]
+        return cls(
+            proof=[bytes.fromhex(m) for m in obj["proof"]],
+            a0=obj["a0"],
+            a_last=obj["a_last"],
+            config=ProverConfig(
+                modulus=c["modulus"],
+                generator=c["generator"],
+                log2_trace=c["log2_trace"],
+                blowup=c["blowup"],
+                num_queries=c["num_queries"],
+            ),
+        )
+
+
+def prove(cfg: ProverConfig, a1: int = 3141592, trace=None, strict: bool = True) -> StarkProof:
+    """Prove knowledge of a Fibonacci-square trace with the given secret
+    a_1 (or an explicit device trace of length 2^k - 1)."""
+    cfg.validate()
+    p = cfg.modulus
+    M = cfg.eval_domain_size
+    b = cfg.blowup
+    h = cfg.offset
+
+    # -- trace + LDE ------------------------------------------------------
+    if trace is None:
+        trace = fibonacci_square_trace(p, cfg.trace_length, 1, a1)
+    trace_host_ends = np.asarray(trace[:1]), np.asarray(trace[-1:])
+    a0 = int(trace_host_ends[0][0])
+    a_last = int(trace_host_ends[1][0])
+    coeffs = trace_polynomial(trace, p)
+    f_evals = coset_evaluate(coeffs, p, M, h)
+
+    # -- commit trace ------------------------------------------------------
+    channel = Channel(p)
+    channel.mark_phase("trace-commit")
+    trace_tree = MerkleTree(f_evals)
+    channel.send(trace_tree.root().encode())
+
+    # -- composition -------------------------------------------------------
+    channel.mark_phase("composition")
+    alphas = tuple(channel.receive_random_field_element().value for _ in range(3))
+    ctx = get_context(cfg)
+    cp = ctx.compose(f_evals, alphas, a0, a_last)
+
+    # -- FRI ---------------------------------------------------------------
+    fri_proof: FRIProof = fri_commit(
+        cp, p, h, channel, num_folds=cfg.log2_trace, strict=strict
+    )
+
+    # -- queries -----------------------------------------------------------
+    channel.mark_phase("queries")
+    f_host = np.asarray(f_evals)
+    layer_cache: dict = {}
+    for _ in range(cfg.num_queries):
+        idx = channel.receive_random_int(0, M - 2 * b - 1, True)
+        for off in (0, b, 2 * b):
+            channel.send(int(f_host[idx + off]).to_bytes(8, "big"))
+            channel.send(trace_tree.get_authentication_path(idx + off))
+        decommit_fri_layers(
+            idx, fri_proof.fri_layers, fri_proof.fri_merkles, channel, layer_cache
+        )
+
+    return StarkProof(
+        proof=[bytes(m) for m in channel.proof],
+        a0=a0,
+        a_last=a_last,
+        config=cfg,
+    )

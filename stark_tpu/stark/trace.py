@@ -1,0 +1,84 @@
+"""Trace generation + trace polynomial — fills the reference's empty
+``src/trace/{fibonacci.rs, blowup.rs}`` stubs (0 bytes, SURVEY §2) with
+STARK-101 semantics.
+
+The Fibonacci-square AIR: a_{i+2} = a_{i+1}^2 + a_i^2 over GF(p), with
+public boundary a_0 = 1 and a_{T-1} the claimed output (for p = 3*2^30+1,
+a_1 = 3141592 gives the famous a_1022 = 2338775057).
+
+The trace polynomial f is the unique degree <= T-1 interpolant of
+(g^i, a_i) for i < T, where T = N - 1 and g generates the order-N
+subgroup.  STARK-101 builds it with O(N^2) Lagrange; here it is one INTT
+plus a closed-form degree correction:
+
+    INTT of (trace ++ [0]) gives coeffs0 of the interpolant with value 0
+    at the unused point g^{N-1}; subtracting coeffs0[N-1] * L(x), where L
+    is the Lagrange basis at g^{N-1} with coefficients
+    L_i = g^{i+1} / N-normalization, zeroes the top coefficient while
+    preserving the T interpolated values, giving exactly STARK-101's f.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from stark_tpu.fields.fp import Fp
+from stark_tpu.ntt.ntt import get_plan
+from stark_tpu.ntt.reference_ntt import root_of_unity
+
+_U32 = jnp.uint32
+
+
+@functools.lru_cache(maxsize=None)
+def _trace_jit(p: int, length: int):
+    f = Fp.get(p)
+
+    def gen(a0, a1):
+        def step(carry, _):
+            x, y = carry
+            nxt = f.add(f.mul(x, x), f.mul(y, y))
+            return (y, nxt), x
+
+        (_, _), out = jax.lax.scan(
+            step, (a0.astype(_U32), a1.astype(_U32)), None, length=length
+        )
+        return out
+
+    return jax.jit(gen)
+
+
+def fibonacci_square_trace(p: int, length: int, a0: int = 1, a1: int = 3141592):
+    """(length,) device trace of the Fibonacci-square AIR (lax.scan —
+    the recurrence is sequential but each step is O(1) field ops)."""
+    return _trace_jit(p, length)(_U32(a0 % p), _U32(a1 % p))
+
+
+@functools.lru_cache(maxsize=None)
+def _trace_poly_jit(p: int, n: int):
+    """trace (n-1,) -> coeffs (n,) of the degree <= n-2 interpolant."""
+    f = Fp.get(p)
+    plan_i = get_plan(p, n, True)
+    g = root_of_unity(p, n)
+    # correction vector: g^{i+1} for i in [0, n)
+    corr = None  # built lazily inside jit via powers
+
+    def run(trace):
+        padded = jnp.zeros((n,), _U32).at[: n - 1].set(trace)
+        coeffs0 = plan_i(padded)
+        tail = coeffs0[n - 1]
+        gp = f.mul(f.powers(g, n), _U32(g))  # g^{i+1}
+        return f.sub(coeffs0, f.mul(gp, tail))
+
+    return jax.jit(run)
+
+
+def trace_polynomial(trace, p: int):
+    """Coefficients (N,) of STARK-101's trace interpolant, top coefficient
+    identically zero (degree <= N-2)."""
+    n = int(trace.shape[-1]) + 1
+    if n & (n - 1):
+        raise ValueError("trace length must be 2^k - 1")
+    return _trace_poly_jit(p, n)(trace)
