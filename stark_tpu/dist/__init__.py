@@ -1,0 +1,8 @@
+from stark_tpu.dist.mesh import SHARD_AXIS, make_mesh, sharded, replicated, shard_spec
+from stark_tpu.dist.ntt import dist_ntt, dist_intt, dist_coset_evaluate
+from stark_tpu.dist.merkle import dist_merkle_tree
+
+__all__ = [
+    "SHARD_AXIS", "make_mesh", "sharded", "replicated", "shard_spec",
+    "dist_ntt", "dist_intt", "dist_coset_evaluate", "dist_merkle_tree",
+]

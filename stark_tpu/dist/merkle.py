@@ -1,0 +1,76 @@
+"""Sharded Merkle commitment (SURVEY §5.7-5.8, communication component #2).
+
+Leaves are sharded over the mesh in contiguous blocks, so each device owns
+a complete subtree: all levels up to the per-shard subtree roots build
+with ZERO communication inside one shard_map.  The top log2(S) levels
+reduce over the (S, 8) digest array — 32 bytes per shard of traffic
+(an implicit all-gather), negligible on ICI or DCN.
+
+Because subtrees are contiguous, the concatenated local levels ARE the
+global tree's levels: roots and auth paths are byte-identical to the
+single-device MerkleTree — mesh-shape determinism is the test oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from stark_tpu.dist.mesh import SHARD_AXIS
+from stark_tpu.hash.sha256_jax import sha256_pairs, sha256_u64_leaves
+from stark_tpu.merkle.tree import MerkleTree
+
+_U32 = jnp.uint32
+
+
+def _local_levels(values):
+    """Leaf digests + all subtree levels for one shard's (n_local,) block."""
+    level = sha256_u64_leaves(jnp.zeros_like(values), values)
+    levels = [level]
+    while level.shape[0] > 1:
+        level = sha256_pairs(level[0::2], level[1::2])
+        levels.append(level)
+    return tuple(levels)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_dist_jit(n: int, n_shards: int, mesh_key: int, mesh_ref=None):
+    mesh = _MESHES[mesh_key]
+    spec = P(SHARD_AXIS, None)
+    mapped = jax.shard_map(
+        _local_levels,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS),),
+        out_specs=tuple(spec for _ in range((n // n_shards).bit_length())),
+        check_vma=False,
+    )
+
+    def build(values):
+        levels = list(mapped(values))
+        # top levels over the (S, 8) subtree roots, replicated (tiny)
+        top = levels[-1]
+        while top.shape[0] > 1:
+            top = sha256_pairs(top[0::2], top[1::2])
+            levels.append(top)
+        return tuple(levels)
+
+    return jax.jit(build)
+
+
+_MESHES: dict[int, Mesh] = {}
+
+
+def dist_merkle_tree(values, mesh: Mesh) -> MerkleTree:
+    """Build a MerkleTree from sharded values; identical digests/paths to
+    the single-device tree."""
+    n = int(values.shape[0])
+    s = int(mesh.devices.size)
+    if n % s or (n // s) & (n // s - 1) or n < 2 * s:
+        # fall back for sizes that do not shard cleanly
+        return MerkleTree(values)
+    _MESHES[id(mesh)] = mesh
+    levels = _build_dist_jit(n, s, id(mesh))(values)
+    return MerkleTree(None, device_levels=levels)

@@ -1,0 +1,185 @@
+"""Distributed NTT — the four-step algorithm over a device mesh.
+
+This is the TPU-native "sequence parallelism" of the workload
+(SURVEY §5.7): the 2^k evaluation domain is the sequence axis, sharded in
+contiguous blocks.  A size-n NTT with n = n1 * n2 decomposes
+(j = j1*n2 + j2, k = k2*n1 + k1, w the order-n root):
+
+    X[k2*n1 + k1] = NTT_n2_rows( w^(j2*k1) * NTT_n1_cols(A) )[k1, k2]^T
+
+where A = x.reshape(n1, n2).  Each axis transform is local after a
+transpose, and a distributed transpose is exactly one
+``jax.lax.all_to_all`` + local transpose (the Ulysses-style axis swap the
+survey prescribes over ring exchanges, SURVEY §5.7).  Three transposes
+give natural order in AND out, so sharded results are byte-identical to
+the single-device plan — determinism across mesh shapes is the
+distributed test oracle (SURVEY §4).
+
+All local transforms reuse NTTPlan's Stockham stages (batched over rows);
+twiddle tables are precomputed sharded device arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stark_tpu.dist.mesh import SHARD_AXIS
+from stark_tpu.fields.fp import Fp
+from stark_tpu.ntt.ntt import get_plan
+from stark_tpu.ntt.reference_ntt import ntt_available, root_of_unity
+
+_U32 = jnp.uint32
+
+
+def _split(n: int, s: int) -> tuple[int, int]:
+    """Choose n = n1 * n2 with s | n1 and s | n2 (so both layouts shard
+    evenly), n1 as square as possible."""
+    log_n = n.bit_length() - 1
+    log_s = s.bit_length() - 1
+    if n % (s * s) and s > 1:
+        raise ValueError(
+            f"four-step NTT needs s^2 | n (n={n}, shards={s})"
+        )
+    log_n1 = max(log_s, min(log_n - log_s, (log_n + 1) // 2))
+    return 1 << log_n1, 1 << (log_n - log_n1)
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_plan(p: int, n: int, n_shards: int, inverse: bool):
+    return _DistNTT(p, n, n_shards, inverse)
+
+
+class _DistNTT:
+    """Compiled distributed NTT for fixed (p, n, shards, direction).
+
+    The returned callable takes/returns a GLOBAL (n,) array sharded (or
+    shardable) over the mesh; call .run(x, mesh)."""
+
+    def __init__(self, p: int, n: int, n_shards: int, inverse: bool):
+        if not ntt_available(p, n):
+            raise ValueError(f"GF({p}) has no order-{n} subgroup")
+        self.p = p
+        self.n = n
+        self.s = n_shards
+        self.inverse = inverse
+        self.fp = Fp.get(p)
+        self.n1, self.n2 = _split(n, n_shards)
+        w = root_of_unity(p, n)
+        if inverse:
+            w = pow(w, p - 2, p)
+        self.w = w
+        f = self.fp
+        # column plan (length n1) and row plan (length n2), built with the
+        # SAME root convention: plan roots are canonical; for the inverse
+        # transform the sub-plans must use inverse roots too, which
+        # get_plan(inverse=True) provides (its extra 1/len scale is not
+        # wanted for sub-transforms — we fold the full 1/n at the end, so
+        # use forward plans on w^-1 powers via explicit twiddles instead).
+        self._plan1 = _SubPlan(p, self.n1, pow(w, self.n2, p))
+        self._plan2 = _SubPlan(p, self.n2, pow(w, self.n1, p))
+        # twiddle table w^(j2*k1), shape (n2, n1), Montgomery form,
+        # built on device with log-depth doubling
+        ratios = f.jit_powers(w, self.n2)
+        self._twiddle = f.jit_to_mont(f.jit_geometric_table(ratios, self.n1))
+        self._ninv_mont = _U32(pow(n, p - 2, p) * f.r % p)
+        self._jit_cache = {}
+
+    def _kernel(self, x, twiddle_block):
+        """shard_map body.  x: local (n1/s, n2) block of A = x.reshape(n1,n2).
+        twiddle_block: local (n2/s, n1) block of the twiddle table."""
+        f = self.fp
+        s = self.s
+        xm = f.to_mont(x)
+        # transpose 1: (n1/s, n2) -> (n2/s, n1); col-NTT becomes row-NTT
+        xm = jax.lax.all_to_all(xm, SHARD_AXIS, split_axis=1, concat_axis=0, tiled=True).T
+        xm = self._plan1.stages(xm)           # NTT_n1 along rows
+        xm = f.mont_mul(xm, twiddle_block)    # w^(j2*k1), rows j2 local
+        # transpose 2: (n2/s, n1) -> (n1/s, n2)
+        xm = jax.lax.all_to_all(xm, SHARD_AXIS, split_axis=1, concat_axis=0, tiled=True).T
+        xm = self._plan2.stages(xm)           # NTT_n2 along rows -> D[k1, k2]
+        # transpose 3: natural order is D^T reshaped; X.reshape(n2,n1)=D^T
+        xm = jax.lax.all_to_all(xm, SHARD_AXIS, split_axis=1, concat_axis=0, tiled=True).T
+        if self.inverse:
+            xm = f.mont_mul(xm, self._ninv_mont)
+        return f.from_mont(xm)
+
+    def run(self, x, mesh: Mesh):
+        key = id(mesh)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            spec_in = P(SHARD_AXIS, None)
+            mapped = jax.shard_map(
+                self._kernel,
+                mesh=mesh,
+                in_specs=(spec_in, spec_in),
+                out_specs=spec_in,
+            )
+
+            def run_global(xg, tw):
+                a = xg.reshape(self.n1, self.n2)
+                d_t = mapped(a, tw)  # (n2, n1) = D^T = X.reshape(n2, n1)
+                return d_t.reshape(self.n)
+
+            fn = jax.jit(run_global)
+            self._jit_cache[key] = fn
+        return fn(x, self._twiddle)
+
+
+class _SubPlan:
+    """Batched Stockham stages for a given explicit root (length n along
+    the last axis, Montgomery domain in/out, no 1/n scale)."""
+
+    def __init__(self, p: int, n: int, root: int):
+        self.fp = Fp.get(p)
+        f = self.fp
+        tw = []
+        l = n
+        while l > 1:
+            lh = l // 2
+            wl = pow(root, n // l, p)
+            t = f.jit_to_mont(f.jit_powers(wl, lh)) if lh > 1 else jnp.full(
+                (1,), _U32(f.r)
+            )
+            tw.append(t)
+            l = lh
+        self._twiddles = tuple(tw)
+        self.n = n
+        # reuse NTTPlan's stage loop via a tiny shim
+        self._shim = get_plan(p, n, False)
+
+    def stages(self, xm):
+        return self._shim._stages(xm, self._twiddles)
+
+
+def dist_ntt(x, p: int, mesh: Mesh) -> jax.Array:
+    """Forward NTT of a global (n,) array over `mesh`; natural order,
+    byte-identical to the single-device plan."""
+    return _dist_plan(p, int(x.shape[-1]), mesh.devices.size, False).run(x, mesh)
+
+
+def dist_intt(x, p: int, mesh: Mesh) -> jax.Array:
+    return _dist_plan(p, int(x.shape[-1]), mesh.devices.size, True).run(x, mesh)
+
+
+@functools.lru_cache(maxsize=None)
+def _scale_pad_jit(p: int, n: int, big_n: int, offset: int):
+    f = Fp.get(p)
+
+    def run(coeffs):
+        shifted = f.mul(coeffs, f.powers(offset, n))
+        return jnp.zeros((big_n,), dtype=_U32).at[:n].set(shifted)
+
+    return jax.jit(run)
+
+
+def dist_coset_evaluate(coeffs, p: int, big_n: int, offset: int, mesh: Mesh):
+    """Distributed version of ntt.coset_evaluate: evaluate the (n,)
+    coefficient vector on {offset * W^i : i < big_n}, sharded over mesh."""
+    n = int(coeffs.shape[-1])
+    padded = _scale_pad_jit(p, n, big_n, int(offset) % p)(coeffs)
+    return dist_ntt(padded, p, mesh)

@@ -87,6 +87,7 @@ def fri_commit(
     channel: Channel,
     num_folds: int | None = None,
     strict: bool = True,
+    mesh=None,
 ) -> FRIProof:
     """Commit phase (fri_commit.rs:72-122): Merkle each layer, absorb the
     root, draw beta, fold; finally send the constant.
@@ -103,11 +104,18 @@ def fri_commit(
     if num_folds >= n.bit_length():
         raise ValueError(f"cannot fold size {n} domain {num_folds} times")
 
+    def _tree(vals):
+        if mesh is not None:
+            from stark_tpu.dist.merkle import dist_merkle_tree
+
+            return dist_merkle_tree(vals, mesh)
+        return MerkleTree(vals)
+
     evals = jnp.asarray(evals, dtype=_U32)
     offset = int(offset) % p
     layers = [evals]
     offsets = [offset]
-    trees = [MerkleTree(evals)]
+    trees = [_tree(evals)]
     channel.mark_phase("fri-commit")
     channel.send(trees[0].root().encode())
 
@@ -121,7 +129,7 @@ def fri_commit(
         off = off * off % p
         layers.append(evals)
         offsets.append(off)
-        tree = MerkleTree(evals)
+        tree = _tree(evals)
         trees.append(tree)
         channel.send(tree.root().encode())
 

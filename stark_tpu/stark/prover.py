@@ -75,9 +75,19 @@ class StarkProof:
         )
 
 
-def prove(cfg: ProverConfig, a1: int = 3141592, trace=None, strict: bool = True) -> StarkProof:
+def prove(
+    cfg: ProverConfig,
+    a1: int = 3141592,
+    trace=None,
+    strict: bool = True,
+    mesh=None,
+) -> StarkProof:
     """Prove knowledge of a Fibonacci-square trace with the given secret
-    a_1 (or an explicit device trace of length 2^k - 1)."""
+    a_1 (or an explicit device trace of length 2^k - 1).
+
+    With `mesh`, the LDE NTT, Merkle hashing, composition, and FRI folds
+    run sharded over the device mesh; the transcript is byte-identical to
+    the single-device prove (mesh-shape determinism, SURVEY §4)."""
     cfg.validate()
     p = cfg.modulus
     M = cfg.eval_domain_size
@@ -91,12 +101,22 @@ def prove(cfg: ProverConfig, a1: int = 3141592, trace=None, strict: bool = True)
     a0 = int(trace_host_ends[0][0])
     a_last = int(trace_host_ends[1][0])
     coeffs = trace_polynomial(trace, p)
-    f_evals = coset_evaluate(coeffs, p, M, h)
+    if mesh is not None:
+        from stark_tpu.dist import dist_coset_evaluate
+
+        f_evals = dist_coset_evaluate(coeffs, p, M, h, mesh)
+    else:
+        f_evals = coset_evaluate(coeffs, p, M, h)
 
     # -- commit trace ------------------------------------------------------
     channel = Channel(p)
     channel.mark_phase("trace-commit")
-    trace_tree = MerkleTree(f_evals)
+    if mesh is not None:
+        from stark_tpu.dist import dist_merkle_tree
+
+        trace_tree = dist_merkle_tree(f_evals, mesh)
+    else:
+        trace_tree = MerkleTree(f_evals)
     channel.send(trace_tree.root().encode())
 
     # -- composition -------------------------------------------------------
@@ -107,7 +127,7 @@ def prove(cfg: ProverConfig, a1: int = 3141592, trace=None, strict: bool = True)
 
     # -- FRI ---------------------------------------------------------------
     fri_proof: FRIProof = fri_commit(
-        cp, p, h, channel, num_folds=cfg.log2_trace, strict=strict
+        cp, p, h, channel, num_folds=cfg.log2_trace, strict=strict, mesh=mesh
     )
 
     # -- queries -----------------------------------------------------------

@@ -1,0 +1,111 @@
+"""Distributed layer tests on an 8-virtual-device CPU mesh.
+
+The oracle is mesh-shape determinism (SURVEY §4): every sharded result —
+NTT output, Merkle digests, full proof transcripts — must be
+byte-identical to the single-device computation.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stark_tpu.config import DEFAULT_MODULUS, ProverConfig
+from stark_tpu.dist import (
+    dist_coset_evaluate,
+    dist_intt,
+    dist_merkle_tree,
+    dist_ntt,
+    make_mesh,
+)
+from stark_tpu.merkle import MerkleTree
+from stark_tpu.ntt import coset_evaluate, intt, ntt
+from stark_tpu.stark import prove, verify
+
+P = DEFAULT_MODULUS
+
+
+def _cpu_mesh(n):
+    return make_mesh(n, devices=jax.local_devices(backend="cpu")[:n])
+
+
+def _rand(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, P, size=n, dtype=np.uint64)).astype(np.uint32)
+
+
+class TestDistNTT:
+    @pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+    @pytest.mark.parametrize("log_n", [6, 10])
+    def test_matches_single_device(self, n_dev, log_n):
+        n = 1 << log_n
+        mesh = _cpu_mesh(n_dev)
+        x = jnp.asarray(_rand(n, seed=log_n))
+        got = np.asarray(dist_ntt(x, P, mesh))
+        want = np.asarray(ntt(x, P))
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("n_dev", [4, 8])
+    def test_intt_matches(self, n_dev):
+        n = 1 << 8
+        mesh = _cpu_mesh(n_dev)
+        x = jnp.asarray(_rand(n, seed=3))
+        np.testing.assert_array_equal(
+            np.asarray(dist_intt(x, P, mesh)), np.asarray(intt(x, P))
+        )
+
+    def test_roundtrip_sharded(self):
+        mesh = _cpu_mesh(8)
+        x = jnp.asarray(_rand(1 << 10, seed=5))
+        back = dist_intt(dist_ntt(x, P, mesh), P, mesh)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_coset_evaluate_matches(self):
+        mesh = _cpu_mesh(8)
+        coeffs = jnp.asarray(_rand(1 << 7, seed=7))
+        got = np.asarray(dist_coset_evaluate(coeffs, P, 1 << 10, 5, mesh))
+        want = np.asarray(coset_evaluate(coeffs, P, 1 << 10, 5))
+        np.testing.assert_array_equal(got, want)
+
+    def test_too_small_for_mesh_raises(self):
+        mesh = _cpu_mesh(8)
+        with pytest.raises(ValueError, match="four-step"):
+            dist_ntt(jnp.asarray(_rand(32)), P, mesh)
+
+
+class TestDistMerkle:
+    @pytest.mark.parametrize("n_dev", [2, 4, 8])
+    def test_root_and_paths_match(self, n_dev):
+        mesh = _cpu_mesh(n_dev)
+        vals = _rand(1 << 9, seed=11)
+        jv = jnp.asarray(vals)
+        dt = dist_merkle_tree(jv, mesh)
+        st = MerkleTree(jv)
+        assert dt.root() == st.root()
+        for idx in [0, 5, 255, 511]:
+            assert dt.get_authentication_path(idx) == st.get_authentication_path(idx)
+
+    def test_fallback_small(self):
+        mesh = _cpu_mesh(8)
+        vals = jnp.asarray(_rand(8, seed=2))
+        dt = dist_merkle_tree(vals, mesh)  # n == s: falls back
+        assert dt.root() == MerkleTree(vals).root()
+
+
+class TestDistProve:
+    def test_sharded_proof_is_byte_identical(self):
+        """The gold test: a full prove over an 8-device mesh produces the
+        exact same transcript as single-device."""
+        cfg = ProverConfig(log2_trace=6, blowup=4, num_queries=3)
+        mesh = _cpu_mesh(8)
+        single = prove(cfg)
+        shard8 = prove(cfg, mesh=mesh)
+        assert single.proof == shard8.proof
+        assert verify(shard8)
+
+    def test_mesh_shapes_agree(self):
+        cfg = ProverConfig(log2_trace=6, blowup=4, num_queries=2)
+        p2 = prove(cfg, mesh=_cpu_mesh(2))
+        p4 = prove(cfg, mesh=_cpu_mesh(4))
+        assert p2.proof == p4.proof
