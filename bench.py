@@ -1,0 +1,167 @@
+"""Benchmark harness — prints ONE JSON line (headline metric) to stdout.
+
+Headline: 2^22-point NTT wall time on one chip (BASELINE.json metric #2).
+``vs_baseline`` is the speedup over the best available host baseline (the
+numpy Stockham NTT in stark_tpu.ntt.reference_ntt) measured on this same
+machine — the reference Rust crate has no NTT at all (Readme.md:2 TODO),
+so there is no reference number to compare against (BASELINE.md caveats).
+
+All secondary metrics (field-mul ops/s/chip, Merkle leaves/s, FRI prove,
+full STARK prove) go to stderr and benches/latest.json.
+
+Usage: python bench.py [--quick] [--full-prove]
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def median_time(fn, reps=5, warmup=2):
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small sizes (CI)")
+    ap.add_argument("--full-prove", action="store_true",
+                    help="also run the 2^18-row full STARK prove")
+    ap.add_argument("--cpu", action="store_true", help="pin to CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+    import jax.numpy as jnp
+    import numpy as np
+
+    dev = jax.devices()[0] if not args.cpu else jax.local_devices(backend="cpu")[0]
+    log(f"benchmarking on: {dev} (platform {dev.platform})")
+
+    from stark_tpu.config import DEFAULT_MODULUS as P, ProverConfig
+    from stark_tpu.fields import Fp
+
+    results = {"device": str(dev), "platform": dev.platform}
+    f = Fp.get(P)
+    rng = np.random.default_rng(0)
+
+    # -- 1. field mul ops/s/chip (data-dependent operands) -----------------
+    n_mul = 1 << (22 if args.quick else 25)
+    a = jax.device_put(rng.integers(0, P, n_mul, dtype=np.uint64).astype(np.uint32), dev)
+    b = jax.device_put(rng.integers(0, P, n_mul, dtype=np.uint64).astype(np.uint32), dev)
+    t = median_time(lambda: f.jit_mul(a, b).block_until_ready())
+    results["field_mul_ops_per_s"] = n_mul / t
+    log(f"field mul: {n_mul / t / 1e9:.2f} Gops/s/chip ({t*1e3:.2f} ms @ 2^{n_mul.bit_length()-1})")
+
+    # -- 2. NTT 2^22 (headline) -------------------------------------------
+    from stark_tpu.ntt import get_plan
+    from stark_tpu.ntt.reference_ntt import ntt_host
+
+    log_n = 18 if args.quick else 22
+    n = 1 << log_n
+    x = jax.device_put(rng.integers(0, P, n, dtype=np.uint64).astype(np.uint32), dev)
+    plan = get_plan(P, n, False)
+    t0 = time.perf_counter()
+    plan(x).block_until_ready()
+    log(f"NTT 2^{log_n} compile+first run: {time.perf_counter()-t0:.1f} s")
+    t_ntt = median_time(lambda: plan(x).block_until_ready())
+    results[f"ntt_2e{log_n}_ms"] = t_ntt * 1e3
+    log(f"NTT 2^{log_n}: {t_ntt*1e3:.2f} ms "
+        f"({n * log_n / t_ntt / 1e9:.2f} G butterfly/s)")
+
+    # host numpy baseline on a smaller size, scaled n log n
+    base_log = min(log_n, 20)
+    xb = np.asarray(x[: 1 << base_log])
+    t_host = median_time(lambda: ntt_host(xb, P), reps=3, warmup=1)
+    t_host_scaled = t_host * (n * log_n) / ((1 << base_log) * base_log)
+    results["ntt_host_baseline_ms"] = t_host_scaled * 1e3
+    vs_baseline = t_host_scaled / t_ntt
+    log(f"host numpy NTT (scaled to 2^{log_n}): {t_host_scaled*1e3:.1f} ms "
+        f"-> speedup {vs_baseline:.1f}x")
+
+    # -- 3. Merkle 2^22 leaves (BASELINE config #4) ------------------------
+    from stark_tpu.merkle.tree import _build_jit
+
+    log_m = 16 if args.quick else 22
+    m = 1 << log_m
+    leaves = jax.device_put(rng.integers(0, P, m, dtype=np.uint64).astype(np.uint32), dev)
+    build = _build_jit(m)
+    t0 = time.perf_counter()
+    jax.block_until_ready(build(leaves))
+    log(f"Merkle 2^{log_m} compile+first: {time.perf_counter()-t0:.1f} s")
+    t_mk = median_time(lambda: jax.block_until_ready(build(leaves)), reps=3)
+    results[f"merkle_2e{log_m}_ms"] = t_mk * 1e3
+    results["merkle_leaves_per_s"] = m / t_mk
+    log(f"Merkle tree 2^{log_m} leaves: {t_mk*1e3:.1f} ms ({m/t_mk/1e6:.2f} M leaves/s)")
+
+    # -- 4. FRI commit 2^18 codeword, blowup 8 (BASELINE config #3) --------
+    from stark_tpu.channel import Channel
+    from stark_tpu.fri import fri_commit, decommit_fri
+    from stark_tpu.ntt import coset_evaluate
+
+    log_deg = 12 if args.quick else 18
+    blowup = 8
+    coeffs = jax.device_put(
+        rng.integers(0, P, 1 << log_deg, dtype=np.uint64).astype(np.uint32), dev
+    )
+    cw = coset_evaluate(coeffs, P, blowup << log_deg, 5)
+    cw.block_until_ready()
+
+    def fri_run():
+        ch = Channel(P)
+        pr = fri_commit(cw, P, 5, ch, num_folds=log_deg)
+        decommit_fri(16, (blowup << log_deg) - 1, pr.fri_layers, pr.fri_merkles, ch)
+        return ch
+
+    t0 = time.perf_counter()
+    fri_run()
+    log(f"FRI 2^{log_deg} first (compiles): {time.perf_counter()-t0:.1f} s")
+    t_fri = median_time(fri_run, reps=3, warmup=1)
+    results[f"fri_prove_2e{log_deg}_ms"] = t_fri * 1e3
+    log(f"FRI commit+decommit deg 2^{log_deg} blowup {blowup}: {t_fri*1e3:.1f} ms")
+
+    # -- 5. full STARK prove ----------------------------------------------
+    if args.full_prove:
+        from stark_tpu.stark import prove, verify
+
+        log2_tr = 12 if args.quick else 18
+        cfg = ProverConfig(log2_trace=log2_tr, blowup=8, num_queries=16)
+        t0 = time.perf_counter()
+        proof = prove(cfg)
+        log(f"STARK prove 2^{log2_tr} first (compiles): {time.perf_counter()-t0:.1f} s")
+        t_pv = median_time(lambda: prove(cfg), reps=3, warmup=0)
+        results[f"stark_prove_2e{log2_tr}_ms"] = t_pv * 1e3
+        assert verify(proof)
+        log(f"STARK prove 2^{log2_tr} rows: {t_pv*1e3:.0f} ms (verified)")
+
+    os.makedirs("benches", exist_ok=True)
+    with open("benches/latest.json", "w") as fh:
+        json.dump(results, fh, indent=2)
+
+    print(json.dumps({
+        "metric": f"ntt_2e{log_n}_ms",
+        "value": round(t_ntt * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,16 @@ def _sha256_hex(s: str) -> str:
     return hashlib.sha256(s.encode()).hexdigest()
 
 
+def _absorb(state_hex: str, message: bytes) -> str:
+    """state' = sha256_hex(utf8(state ++ hex(msg))) — native when built."""
+    try:
+        from stark_tpu.native import channel_absorb
+
+        return channel_absorb(state_hex, message)
+    except Exception:
+        return _sha256_hex(state_hex + message.hex())
+
+
 class Channel:
     """Prover-side Fiat-Shamir transcript for GF(modulus)."""
 
@@ -55,7 +65,7 @@ class Channel:
 
     # -- reference-exact core (channel.rs:35-84) --------------------------
     def send(self, message: bytes) -> None:
-        self.state = _sha256_hex(self.state + message.hex())
+        self.state = _absorb(self.state, message)
         self.proof.append(bytes(message))
         self.compressed_proof.append(bytes(message))
 
@@ -135,7 +145,7 @@ class VerifierChannel:
     def read(self) -> bytes:
         """Consume a prover message, updating state exactly like send."""
         m = self._next()
-        self.state = _sha256_hex(self.state + m.hex())
+        self.state = _absorb(self.state, m)
         return m
 
     def receive_random_int(self, min_: int, max_: int, show_in_proof: bool = False) -> int:

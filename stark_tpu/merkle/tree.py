@@ -77,9 +77,11 @@ class MerkleTree:
     def num_leaves(self) -> int:
         return int(self.levels[0].shape[0])
 
-    def _host(self) -> list[np.ndarray]:
+    def prefetch_host(self) -> list[np.ndarray]:
+        """Pull ALL level digests to host in one sync.  Right when many
+        auth paths will be extracted and the tree is small or the link is
+        fast; on the tunneled-TPU path prefer the lazy per-row fetches."""
         if self._host_levels is None:
-            # one device->host sync for the whole tree (digests only)
             self._host_levels = [np.asarray(l) for l in self.levels]
         return self._host_levels
 
@@ -88,8 +90,16 @@ class MerkleTree:
         return self.root_bytes().hex()
 
     def root_bytes(self) -> bytes:
-        row = self._host()[-1][0]
-        return b"".join(int(x).to_bytes(4, "big") for x in row)
+        # only the (1, 8) top level crosses device->host
+        src = self._host_levels[-1] if self._host_levels is not None else np.asarray(
+            self.levels[-1]
+        )
+        return b"".join(int(x).to_bytes(4, "big") for x in src[0])
+
+    def _row(self, level_i: int, idx: int) -> np.ndarray:
+        if self._host_levels is not None:
+            return self._host_levels[level_i][idx]
+        return np.asarray(self.levels[level_i][idx])  # one 32-byte transfer
 
     def get_authentication_path(self, index: int) -> bytes:
         """Concatenated sibling digests, leaf level upward (the API the
@@ -98,12 +108,12 @@ class MerkleTree:
             raise IndexError(f"leaf index {index} out of range")
         path = b""
         idx = index
-        for level in self._host()[:-1]:
-            size = level.shape[0]
+        for li, level in enumerate(self.levels[:-1]):
+            size = int(level.shape[0])
             if idx == size - 1 and size % 2 == 1:
                 pass  # promoted node: no sibling at this level
             else:
-                sib = level[idx ^ 1]
+                sib = self._row(li, idx ^ 1)
                 path += b"".join(int(x).to_bytes(4, "big") for x in sib)
             idx //= 2
         return path
@@ -123,6 +133,14 @@ class MerkleTree:
         tree construction hashes values)."""
         if index < 0 or index >= num_leaves or num_leaves <= 0:
             return False
+        # native fast path (one C call instead of log n hashlib calls)
+        from stark_tpu.native import get_lib
+
+        if get_lib() is not None and len(leaf_bytes) == 8:
+            from stark_tpu.native import merkle_validate as _native_validate
+
+            return _native_validate(root_hex.lower(), proof, index, leaf_bytes,
+                                    num_leaves)
         if len(proof) % 32:
             return False
         sibs = [proof[i : i + 32] for i in range(0, len(proof), 32)]
