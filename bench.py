@@ -62,10 +62,24 @@ def main():
     f = Fp.get(P)
     rng = np.random.default_rng(0)
 
+    def dev_rand(n, salt=1):
+        """Pseudo-random field elements generated ON device (the tunneled
+        TPU hangs on large host transfers; nothing big ever crosses)."""
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def gen(n, salt):
+            i = jnp.arange(n, dtype=jnp.uint32)
+            x = i * jnp.uint32(2654435761) + salt * jnp.uint32(40503)
+            x = x ^ (x >> jnp.uint32(13))
+            x = x * jnp.uint32(1274126177)
+            return x % jnp.uint32(P)
+        return jax.device_put(gen(n, jnp.uint32(salt)), dev)
+
     # -- 1. field mul ops/s/chip (data-dependent operands) -----------------
     n_mul = 1 << (22 if args.quick else 25)
-    a = jax.device_put(rng.integers(0, P, n_mul, dtype=np.uint64).astype(np.uint32), dev)
-    b = jax.device_put(rng.integers(0, P, n_mul, dtype=np.uint64).astype(np.uint32), dev)
+    a = dev_rand(n_mul, 1)
+    b = dev_rand(n_mul, 2)
     t = median_time(lambda: f.jit_mul(a, b).block_until_ready())
     results["field_mul_ops_per_s"] = n_mul / t
     log(f"field mul: {n_mul / t / 1e9:.2f} Gops/s/chip ({t*1e3:.2f} ms @ 2^{n_mul.bit_length()-1})")
@@ -76,7 +90,7 @@ def main():
 
     log_n = 18 if args.quick else 22
     n = 1 << log_n
-    x = jax.device_put(rng.integers(0, P, n, dtype=np.uint64).astype(np.uint32), dev)
+    x = dev_rand(n, 3)
     plan = get_plan(P, n, False)
     t0 = time.perf_counter()
     plan(x).block_until_ready()
@@ -86,9 +100,16 @@ def main():
     log(f"NTT 2^{log_n}: {t_ntt*1e3:.2f} ms "
         f"({n * log_n / t_ntt / 1e9:.2f} G butterfly/s)")
 
-    # host numpy baseline on a smaller size, scaled n log n
-    base_log = min(log_n, 20)
-    xb = np.asarray(x[: 1 << base_log])
+    # host numpy baseline on a smaller size, scaled n log n.  The input is
+    # regenerated host-side with the same formula — NO device fetch (the
+    # tunnel wedges on multi-MB device->host transfers mid-session).
+    base_log = min(log_n, 18)
+    i = np.arange(1 << base_log, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        xh = i * np.uint32(2654435761) + np.uint32(3) * np.uint32(40503)
+        xh = xh ^ (xh >> np.uint32(13))
+        xh = xh * np.uint32(1274126177)
+    xb = (xh % np.uint32(P)).astype(np.uint32)
     t_host = median_time(lambda: ntt_host(xb, P), reps=3, warmup=1)
     t_host_scaled = t_host * (n * log_n) / ((1 << base_log) * base_log)
     results["ntt_host_baseline_ms"] = t_host_scaled * 1e3
@@ -101,7 +122,7 @@ def main():
 
     log_m = 16 if args.quick else 22
     m = 1 << log_m
-    leaves = jax.device_put(rng.integers(0, P, m, dtype=np.uint64).astype(np.uint32), dev)
+    leaves = dev_rand(m, 4)
     build = _build_jit(m)
     t0 = time.perf_counter()
     jax.block_until_ready(build(leaves))
@@ -118,9 +139,7 @@ def main():
 
     log_deg = 12 if args.quick else 18
     blowup = 8
-    coeffs = jax.device_put(
-        rng.integers(0, P, 1 << log_deg, dtype=np.uint64).astype(np.uint32), dev
-    )
+    coeffs = dev_rand(1 << log_deg, 5)
     cw = coset_evaluate(coeffs, P, blowup << log_deg, 5)
     cw.block_until_ready()
 

@@ -1,0 +1,148 @@
+"""CLI — ``python -m stark_tpu <prove|verify|bench|info>``.
+
+The reference's binary only demos its logger (src/main.rs:8-16); this is
+the prove/verify/bench entry point the reference planned (SURVEY §2 row
+"Binary").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_config_args(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--log2-trace", type=int, default=10,
+                    help="trace rows = 2^k - 1 (default 10: STARK-101 shape)")
+    ap.add_argument("--blowup", type=int, default=8)
+    ap.add_argument("--num-queries", type=int, default=16)
+    ap.add_argument("--modulus", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true", help="pin to local CPU backend")
+    ap.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="shard over an N-device mesh")
+
+
+def _make_config(args):
+    from stark_tpu.config import DEFAULT_MODULUS, ProverConfig
+
+    return ProverConfig(
+        modulus=args.modulus or DEFAULT_MODULUS,
+        log2_trace=args.log2_trace,
+        blowup=args.blowup,
+        num_queries=args.num_queries,
+    )
+
+
+def _setup(args):
+    import jax
+
+    from stark_tpu.utils.logging import setup_logging
+
+    log = setup_logging()
+    if args.cpu:
+        jax.config.update(
+            "jax_default_device", jax.local_devices(backend="cpu")[0]
+        )
+    mesh = None
+    if args.mesh:
+        from stark_tpu.dist import make_mesh
+
+        devices = (
+            jax.local_devices(backend="cpu") if args.cpu else jax.devices()
+        )
+        mesh = make_mesh(args.mesh, devices=devices[: args.mesh])
+    return log, mesh
+
+
+def cmd_prove(args) -> int:
+    from stark_tpu.stark import prove
+
+    log, mesh = _setup(args)
+    cfg = _make_config(args)
+    cfg.validate()
+    log.info("proving: 2^%d-1 rows, blowup %d, %d queries%s",
+             args.log2_trace, args.blowup, args.num_queries,
+             f", {args.mesh}-device mesh" if mesh else "")
+    t0 = time.perf_counter()
+    proof = prove(cfg, a1=args.secret, mesh=mesh)
+    dt = time.perf_counter() - t0
+    with open(args.output, "wb") as fh:
+        fh.write(proof.serialize())
+    log.info("proved in %.2fs: %d bytes -> %s (public output a_last=%d)",
+             dt, proof.size_bytes(), args.output, proof.a_last)
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from stark_tpu.stark import StarkProof, StarkVerificationError, verify
+
+    log, _ = _setup(args)
+    with open(args.proof, "rb") as fh:
+        proof = StarkProof.deserialize(fh.read())
+    t0 = time.perf_counter()
+    try:
+        verify(proof)
+    except StarkVerificationError as e:
+        log.error("proof REJECTED: %s", e)
+        return 1
+    log.info("proof verified in %.3fs (a0=%d, a_last=%d)",
+             time.perf_counter() - t0, proof.a0, proof.a_last)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    cmd = [sys.executable, "bench.py"]
+    if args.quick:
+        cmd.append("--quick")
+    if args.cpu:
+        cmd.append("--cpu")
+    return subprocess.call(cmd)
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    import stark_tpu
+    from stark_tpu.native import get_lib
+
+    print(f"stark_tpu {stark_tpu.__version__}")
+    print(f"jax {jax.__version__}, backend {jax.default_backend()}")
+    print(f"devices: {jax.devices()}")
+    print(f"native host engine: {'built' if get_lib() else 'unavailable (hashlib fallback)'}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="stark_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("prove", help="produce a STARK proof")
+    _add_config_args(p)
+    p.add_argument("--secret", type=int, default=3141592,
+                   help="the private a_1 (default: STARK-101's pi)")
+    p.add_argument("-o", "--output", default="proof.json")
+    p.set_defaults(fn=cmd_prove)
+
+    p = sub.add_parser("verify", help="verify a proof file")
+    p.add_argument("proof")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(fn=cmd_verify, mesh=None)
+
+    p = sub.add_parser("bench", help="run the benchmark suite")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("info", help="environment info")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

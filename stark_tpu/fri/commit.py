@@ -145,34 +145,79 @@ def fri_commit(
     return FRIProof(layers, trees, final_value, offsets)
 
 
+def collect_query_arrays(fri_layers, fri_merkles, extra_arrays=()):
+    """Deduplicated tuple of every device array a query opening can touch
+    (layer values + all tree levels), with an id->slot map for BatchGather."""
+    arrays: list = []
+    slots: dict[int, int] = {}
+
+    def add(a):
+        if id(a) not in slots:
+            slots[id(a)] = len(arrays)
+            arrays.append(a)
+
+    for a in extra_arrays:
+        add(a)
+    for layer in fri_layers:
+        add(layer)
+    for tree in fri_merkles:
+        for lv in tree.levels[:-1]:
+            add(lv)
+    return tuple(arrays), slots
+
+
+def plan_fri_query(bg, slots, index: int, fri_layers, fri_merkles) -> list:
+    """Queue one query's openings (fri_commit.rs:137-165 order: per layer
+    value, auth path, sibling, sibling path; the len==1 quirk — final
+    value sent, then re-sent as idx/sibling, fri_commit.rs:146-148 — is
+    replicated for parity).  Returns the send plan for emit_plan."""
+    plan = []
+    for layer, tree in zip(fri_layers, fri_merkles):
+        length = int(layer.shape[0])
+        if length == 1:
+            plan.append(("v", bg.want(slots[id(layer)], 0)))
+        idx = index % length
+        sib = (idx + length // 2) % length
+        for j in (idx, sib):
+            plan.append(("v", bg.want(slots[id(layer)], j)))
+            plan.append(
+                (
+                    "p",
+                    [
+                        bg.want(slots[id(tree.levels[li])], row)
+                        for li, row in tree.path_rows(j)
+                    ],
+                )
+            )
+    return plan
+
+
+def emit_plan(plan, bg, channel: Channel) -> None:
+    """Send a resolved plan in transcript order (8-byte BE values,
+    concatenated sibling digests)."""
+    for kind, h in plan:
+        if kind == "v":
+            channel.send(bg.scalar(h).to_bytes(8, "big"))
+        else:
+            channel.send(b"".join(bg.digest(x) for x in h))
+
+
 def decommit_fri_layers(
     index: int,
     fri_layers: list,
     fri_merkles: list[MerkleTree],
     channel: Channel,
-    _host_layers_cache: dict | None = None,
+    _arrays_slots=None,
 ) -> None:
-    """Per-query decommitment (fri_commit.rs:137-165): for each layer send
-    value, auth path, sibling value, sibling path.  The reference's
-    len==1 quirk (send final value, then fall through and send it again
-    as idx/sibling, fri_commit.rs:146-148) is replicated for parity."""
-    for li, (layer, tree) in enumerate(zip(fri_layers, fri_merkles)):
-        host = None
-        if _host_layers_cache is not None:
-            host = _host_layers_cache.get(li)
-        if host is None:
-            host = np.asarray(layer)
-            if _host_layers_cache is not None:
-                _host_layers_cache[li] = host
-        length = int(host.shape[0])
-        if length == 1:
-            channel.send(int(host[0]).to_bytes(8, "big"))
-        idx = index % length
-        sib = (idx + length // 2) % length
-        channel.send(int(host[idx]).to_bytes(8, "big"))
-        channel.send(tree.get_authentication_path(idx))
-        channel.send(int(host[sib]).to_bytes(8, "big"))
-        channel.send(tree.get_authentication_path(sib))
+    """Per-query decommitment — one batched device gather + ONE
+    device->host transfer for the whole query (tunneled-TPU friendly)."""
+    from stark_tpu.utils.gather import BatchGather
+
+    arrays, slots = _arrays_slots or collect_query_arrays(fri_layers, fri_merkles)
+    bg = BatchGather(arrays)
+    plan = plan_fri_query(bg, slots, index, fri_layers, fri_merkles)
+    bg.run()
+    emit_plan(plan, bg, channel)
 
 
 def decommit_fri(
@@ -185,7 +230,7 @@ def decommit_fri(
     """Query phase (fri_commit.rs:168-179): draw each index from the
     channel (shown in proof), then decommit all layers."""
     channel.mark_phase("fri-query")
-    cache: dict = {}
+    arrays_slots = collect_query_arrays(fri_layers, fri_merkles)
     for _ in range(num_queries):
         idx = channel.receive_random_int(0, max_index, True)
-        decommit_fri_layers(idx, fri_layers, fri_merkles, channel, cache)
+        decommit_fri_layers(idx, fri_layers, fri_merkles, channel, arrays_slots)

@@ -101,6 +101,21 @@ class MerkleTree:
             return self._host_levels[level_i][idx]
         return np.asarray(self.levels[level_i][idx])  # one 32-byte transfer
 
+    def path_rows(self, index: int) -> list[tuple[int, int]]:
+        """(level_i, row) pairs of the sibling digests that form the auth
+        path for `index` (same order/skip rules as
+        get_authentication_path) — used for batched device gathers."""
+        if not 0 <= index < self.num_leaves:
+            raise IndexError(f"leaf index {index} out of range")
+        rows = []
+        idx = index
+        for li, level in enumerate(self.levels[:-1]):
+            size = int(level.shape[0])
+            if not (idx == size - 1 and size % 2 == 1):
+                rows.append((li, idx ^ 1))
+            idx //= 2
+        return rows
+
     def get_authentication_path(self, index: int) -> bytes:
         """Concatenated sibling digests, leaf level upward (the API the
         reference's FRI called into the void, fri_commit.rs:157)."""

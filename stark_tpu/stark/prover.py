@@ -131,17 +131,37 @@ def prove(
     )
 
     # -- queries -----------------------------------------------------------
+    # One batched device gather + ONE device->host transfer per query:
+    # the three trace openings + their paths + every FRI layer's openings.
+    from stark_tpu.fri.commit import collect_query_arrays, emit_plan, plan_fri_query
+    from stark_tpu.utils.gather import BatchGather
+
     channel.mark_phase("queries")
-    f_host = np.asarray(f_evals)
-    layer_cache: dict = {}
+    arrays, slots = collect_query_arrays(
+        fri_proof.fri_layers,
+        fri_proof.fri_merkles,
+        extra_arrays=(f_evals, *trace_tree.levels[:-1]),
+    )
     for _ in range(cfg.num_queries):
         idx = channel.receive_random_int(0, M - 2 * b - 1, True)
+        bg = BatchGather(arrays)
+        plan = []
         for off in (0, b, 2 * b):
-            channel.send(int(f_host[idx + off]).to_bytes(8, "big"))
-            channel.send(trace_tree.get_authentication_path(idx + off))
-        decommit_fri_layers(
-            idx, fri_proof.fri_layers, fri_proof.fri_merkles, channel, layer_cache
+            plan.append(("v", bg.want(slots[id(f_evals)], idx + off)))
+            plan.append(
+                (
+                    "p",
+                    [
+                        bg.want(slots[id(trace_tree.levels[li])], row)
+                        for li, row in trace_tree.path_rows(idx + off)
+                    ],
+                )
+            )
+        plan += plan_fri_query(
+            bg, slots, idx, fri_proof.fri_layers, fri_proof.fri_merkles
         )
+        bg.run()
+        emit_plan(plan, bg, channel)
 
     return StarkProof(
         proof=[bytes(m) for m in channel.proof],
