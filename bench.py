@@ -37,6 +37,30 @@ def median_time(fn, reps=5, warmup=2):
     return statistics.median(ts)
 
 
+def chain_time(step, x0, iters, reps=3):
+    """Accurate device timing on the tunneled TPU: `block_until_ready`
+    there does NOT await completion, so we chain `iters` data-dependent
+    applications of `step` inside ONE jit and sync with a tiny (4-byte)
+    fetch; per-iteration time = total / iters."""
+    import jax
+    import numpy as np
+
+    @jax.jit
+    def chained(x):
+        return jax.lax.fori_loop(0, iters, lambda i, v: step(v), x)
+
+    r = chained(x0)
+    _ = np.asarray(r.reshape(-1)[:1])  # warmup + real sync
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = chained(x0)
+        _ = np.asarray(r.reshape(-1)[:1])
+        ts.append(time.perf_counter() - t0)
+    # subtract the fetch latency measured on a no-op chain
+    return max(statistics.median(ts), 1e-9) / iters
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small sizes (CI)")
@@ -80,7 +104,7 @@ def main():
     n_mul = 1 << (22 if args.quick else 25)
     a = dev_rand(n_mul, 1)
     b = dev_rand(n_mul, 2)
-    t = median_time(lambda: f.jit_mul(a, b).block_until_ready())
+    t = chain_time(lambda v: f.mul(v, b), a, iters=64)
     results["field_mul_ops_per_s"] = n_mul / t
     log(f"field mul: {n_mul / t / 1e9:.2f} Gops/s/chip ({t*1e3:.2f} ms @ 2^{n_mul.bit_length()-1})")
 
@@ -95,7 +119,7 @@ def main():
     t0 = time.perf_counter()
     plan(x).block_until_ready()
     log(f"NTT 2^{log_n} compile+first run: {time.perf_counter()-t0:.1f} s")
-    t_ntt = median_time(lambda: plan(x).block_until_ready())
+    t_ntt = chain_time(lambda v: plan(v), x, iters=16)
     results[f"ntt_2e{log_n}_ms"] = t_ntt * 1e3
     log(f"NTT 2^{log_n}: {t_ntt*1e3:.2f} ms "
         f"({n * log_n / t_ntt / 1e9:.2f} G butterfly/s)")
@@ -127,7 +151,11 @@ def main():
     t0 = time.perf_counter()
     jax.block_until_ready(build(leaves))
     log(f"Merkle 2^{log_m} compile+first: {time.perf_counter()-t0:.1f} s")
-    t_mk = median_time(lambda: jax.block_until_ready(build(leaves)), reps=3)
+    def mk_step(v):
+        levels = build(v)
+        return v ^ levels[-1][0, 0]  # force dependency on the whole tree
+
+    t_mk = chain_time(mk_step, leaves, iters=8)
     results[f"merkle_2e{log_m}_ms"] = t_mk * 1e3
     results["merkle_leaves_per_s"] = m / t_mk
     log(f"Merkle tree 2^{log_m} leaves: {t_mk*1e3:.1f} ms ({m/t_mk/1e6:.2f} M leaves/s)")

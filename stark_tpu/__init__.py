@@ -26,6 +26,25 @@ Design principles (TPU-first, not a port):
   all-to-all transpose + local NTT) riding ICI.
 """
 
+import os as _os
+
+# Persistent XLA/Mosaic compilation cache: first-time TPU compiles of the
+# fused kernels take tens of seconds (via this environment's remote
+# compile helper); the cache makes them one-time per machine.  Opt out
+# with STARK_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("STARK_TPU_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "STARK_TPU_COMPILE_CACHE",
+            _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          _os.pardir, ".jax_cache"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 from stark_tpu.fields import FieldElement, Fp
 from stark_tpu.config import ProverConfig, DEFAULT_MODULUS, DEFAULT_GENERATOR
 

@@ -33,6 +33,25 @@ from stark_tpu.hash.sha256_jax import sha256_u64_leaves, sha256_pairs
 _U32 = jnp.uint32
 
 
+# Pallas tree build: 3x faster than the XLA scan path on TPU (measured
+# 15.4ms vs 46.5ms at 2^20 leaves, bit-identical).  Used automatically on
+# the tpu backend for power-of-two sizes >= 2^16 (smaller levels are
+# cheap and not worth a Mosaic compile); opt out with STARK_TPU_NO_PALLAS.
+_PALLAS_MIN_LEAVES = 1 << 16
+
+
+def _use_pallas_build(n: int) -> bool:
+    import os
+
+    if os.environ.get("STARK_TPU_NO_PALLAS"):
+        return False
+    if n < _PALLAS_MIN_LEAVES or n & (n - 1):
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 @functools.lru_cache(maxsize=None)
 def _build_jit(n: int):
     """Jitted tree build for a fixed leaf count: values (n,) uint32 ->
@@ -70,7 +89,13 @@ class MerkleTree:
             values = jnp.asarray(values, dtype=_U32)
             if values.ndim != 1 or values.shape[0] == 0:
                 raise ValueError("MerkleTree needs a non-empty 1-D vector")
-            self.levels = _build_jit(int(values.shape[0]))(values)
+            n = int(values.shape[0])
+            if _use_pallas_build(n):
+                from stark_tpu.hash.pallas_sha import build_jit_pallas
+
+                self.levels = build_jit_pallas(n)(values)
+            else:
+                self.levels = _build_jit(n)(values)
         self._host_levels: list[np.ndarray] | None = None
 
     @property

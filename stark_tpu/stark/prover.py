@@ -81,6 +81,7 @@ def prove(
     trace=None,
     strict: bool = True,
     mesh=None,
+    channel: Channel | None = None,
 ) -> StarkProof:
     """Prove knowledge of a Fibonacci-square trace with the given secret
     a_1 (or an explicit device trace of length 2^k - 1).
@@ -109,7 +110,8 @@ def prove(
         f_evals = coset_evaluate(coeffs, p, M, h)
 
     # -- commit trace ------------------------------------------------------
-    channel = Channel(p)
+    if channel is None:
+        channel = Channel(p)
     channel.mark_phase("trace-commit")
     if mesh is not None:
         from stark_tpu.dist import dist_merkle_tree

@@ -1,0 +1,154 @@
+"""Tests for the auxiliary subsystems: CLI, logging, metrics, regression
+comparison, batched gather, multihost glue (single-process path)."""
+
+import json
+import logging
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stark_tpu.utils.gather import BatchGather
+from stark_tpu.utils.metrics import MetricsCollector
+from stark_tpu.utils.regression import compare, save_baseline
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestBatchGather:
+    def test_mixed_1d_2d(self):
+        a = jnp.asarray(np.arange(100, dtype=np.uint32))
+        b = jnp.asarray(np.arange(64, dtype=np.uint32).reshape(8, 8))
+        bg = BatchGather((a, b))
+        h1 = bg.want(0, 17)
+        h2 = bg.want(1, 3)
+        h3 = bg.want(0, 99)
+        bg.run()
+        assert bg.scalar(h1) == 17
+        assert bg.scalar(h3) == 99
+        row = bg.digest(h2)
+        assert row == b"".join(int(x).to_bytes(4, "big") for x in range(24, 32))
+
+    def test_empty_request_array(self):
+        a = jnp.asarray(np.arange(10, dtype=np.uint32))
+        b = jnp.asarray(np.arange(10, dtype=np.uint32))
+        bg = BatchGather((a, b))
+        h = bg.want(1, 5)  # nothing requested from a
+        bg.run()
+        assert bg.scalar(h) == 5
+
+
+class TestMetrics:
+    def test_phases_and_counters(self):
+        mc = MetricsCollector()
+        with mc.phase("ntt", size=1024):
+            mc.count("ntt_calls")
+        with mc.phase("merkle"):
+            pass
+        d = mc.to_dict()
+        assert [p["name"] for p in d["phases"]] == ["ntt", "merkle"]
+        assert d["phases"][0]["size"] == 1024
+        assert d["counters"] == {"ntt_calls": 1}
+        json.loads(mc.to_json())
+
+
+class TestRegression:
+    def test_compare_verdicts(self, tmp_path):
+        base = tmp_path / "base.json"
+        save_baseline({"ntt_ms": 10.0, "merkle_leaves_per_s": 1e6,
+                       "note": "str"}, str(base))
+        out = compare(
+            {"ntt_ms": 13.0, "merkle_leaves_per_s": 2e6, "new_metric": 5},
+            str(base),
+        )
+        verdicts = {o["metric"]: o["verdict"] for o in out}
+        assert verdicts["ntt_ms"] == "regressed"  # time up 30%
+        assert verdicts["merkle_leaves_per_s"] == "improved"  # throughput up
+        assert "new_metric" not in verdicts
+
+    def test_missing_baseline_is_empty(self):
+        assert compare({"x": 1}, "/nonexistent/path.json") == []
+
+
+class TestLogging:
+    def test_format_and_file_sink(self, tmp_path):
+        # fresh logger config in a subprocess to avoid global state
+        code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from stark_tpu.utils.logging import setup_logging
+log = setup_logging(log_dir={str(tmp_path)!r})
+log.info("hello-metric %d", 42)
+"""
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=600)
+        assert "hello-metric 42" in r.stderr
+        assert "[INFO]" in r.stderr and "thread ThreadId(" in r.stderr
+        files = os.listdir(tmp_path)
+        assert any(f.startswith("output.log.") for f in files)
+
+
+class TestCli:
+    def test_prove_verify_roundtrip(self, tmp_path):
+        out = tmp_path / "p.json"
+        env = dict(os.environ)
+        r = subprocess.run(
+            [sys.executable, "-m", "stark_tpu", "prove", "--cpu",
+             "--log2-trace", "6", "--blowup", "4", "--num-queries", "2",
+             "-o", str(out)],
+            cwd=REPO, capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert out.exists()
+        r2 = subprocess.run(
+            [sys.executable, "-m", "stark_tpu", "verify", "--cpu", str(out)],
+            cwd=REPO, capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "verified" in r2.stderr
+        # tamper the proof file -> must reject
+        import json as _json
+
+        obj = _json.loads(out.read_text())
+        msg = bytearray(bytes.fromhex(obj["proof"][0]))
+        msg[-1] ^= 1
+        obj["proof"][0] = bytes(msg).hex()
+        out.write_text(_json.dumps(obj))
+        r3 = subprocess.run(
+            [sys.executable, "-m", "stark_tpu", "verify", "--cpu", str(out)],
+            cwd=REPO, capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert r3.returncode == 1
+        assert "REJECTED" in r3.stderr
+
+    def test_info(self):
+        r = subprocess.run(
+            [sys.executable, "-m", "stark_tpu", "info"],
+            cwd=REPO, capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0
+        assert "stark_tpu" in r.stdout
+
+
+class TestMultihostGlue:
+    def test_single_process_initialize_noop(self):
+        from stark_tpu.dist import distributed_initialize, process_info
+
+        distributed_initialize(num_processes=1)
+        idx, cnt = process_info()
+        assert idx == 0 and cnt >= 1
+
+    def test_multihost_prove_single_process(self):
+        import jax
+
+        from stark_tpu.config import ProverConfig
+        from stark_tpu.dist.multihost import multihost_prove
+        from stark_tpu.stark import prove, verify
+
+        cfg = ProverConfig(log2_trace=6, blowup=4, num_queries=2)
+        pr = multihost_prove(cfg, backend="cpu")
+        assert pr.proof == prove(cfg).proof
+        assert verify(pr)
