@@ -56,6 +56,18 @@ def root_of_unity(p: int, n: int) -> int:
     return pow(_find_generator(p), (p - 1) // n, p)
 
 
+@functools.lru_cache(maxsize=256)
+def _twiddles(p: int, wl: int, count: int) -> np.ndarray:
+    """[wl^j for j < count] via numpy doubling (cached; a Python pow loop
+    here made host NTTs of composed polynomials seconds-slow)."""
+    out = np.ones(1, dtype=np.uint64)
+    cur = wl % p
+    while len(out) < count:
+        out = np.concatenate([out, (out * np.uint64(cur)) % np.uint64(p)])
+        cur = cur * cur % p
+    return out[:count]
+
+
 def ntt_host(values, p: int, inverse: bool = False) -> np.ndarray:
     """Radix-2 Stockham NTT over GF(p), natural order in and out.
 

@@ -18,15 +18,24 @@ from stark_tpu.poly.ops import Polynomial
 
 
 def gen_polynomial_from_roots(roots, modulus: int) -> Polynomial:
-    """prod (x - r) (interpolation.rs:9-23), built by sequential monomial
-    products but with O(n) numpy updates per step."""
+    """prod (x - r) (interpolation.rs:9-23) — sequential monomial products
+    with O(n) vectorized updates per step (numpy u64 when p < 2^32)."""
     p = modulus
+    rv = [int(r) % p for r in roots]
+    n = len(rv)
+    if p < 1 << 32 and n:
+        pp = np.uint64(p)
+        c = np.zeros(n + 1, dtype=np.uint64)
+        c[0] = 1
+        for r in rv:
+            # multiply by (x - r): c <- shift_up(c) + (p - r) * c
+            shifted = np.concatenate((np.zeros(1, dtype=np.uint64), c[:-1]))
+            c = (shifted + np.uint64((p - r) % p) * c) % pp
+        return Polynomial(c.tolist(), p)
     coeffs = [1]
-    for r in roots:
-        rv = int(r) % p
-        # multiply by (x - rv): new[i] = old[i-1] - rv*old[i]
-        coeffs = [(-rv * coeffs[0]) % p] + [
-            (coeffs[i] - rv * coeffs[i + 1]) % p for i in range(len(coeffs) - 1)
+    for r in rv:
+        coeffs = [(-r * coeffs[0]) % p] + [
+            (coeffs[i] - r * coeffs[i + 1]) % p for i in range(len(coeffs) - 1)
         ] + [1]
         coeffs[-1] = 1
     return Polynomial(coeffs, p)
@@ -44,12 +53,43 @@ def _synthetic_div(z: list[int], xi: int, p: int) -> list[int]:
     return out
 
 
+def _lagrange_matrix(xv: list[int], p: int) -> "np.ndarray":
+    """(n, n) u64 matrix B with B[i] = coefficients of L_i.
+
+    Same math as the reference (Z / (x - x_i) scaled by 1/denom_i,
+    interpolation.rs:46-115) but vectorized over the basis index i — the
+    reference's rayon axis (interpolation.rs:89) becomes the numpy axis.
+    Requires p < 2^32 (u64 products); larger moduli use the scalar path.
+    """
+    n = len(xv)
+    pp = np.uint64(p)
+    x = np.asarray(xv, dtype=np.uint64)
+    z = np.asarray(gen_polynomial_from_roots(xv, p).coeffs, dtype=np.uint64)
+    # denominators: prod_{j != i} (x_i - x_j), row-wise product mod p
+    diff = (x[:, None] + pp - x[None, :]) % pp
+    diff[np.arange(n), np.arange(n)] = 1
+    denom = np.ones(n, dtype=np.uint64)
+    for j in range(n):
+        denom = (denom * diff[:, j]) % pp
+    dinv = np.array([pow(int(d), p - 2, p) for d in denom], dtype=np.uint64)
+    # synthetic division Z/(x - x_i), vectorized over i
+    out = np.zeros((n, n), dtype=np.uint64)
+    acc = np.zeros(n, dtype=np.uint64)
+    for k in range(n - 1, -1, -1):
+        acc = (np.uint64(z[k + 1]) + acc * x) % pp
+        out[:, k] = acc
+    return (out * dinv[:, None]) % pp
+
+
 def gen_lagrange_polynomials(xs, modulus: int) -> list[Polynomial]:
     """All Lagrange basis polynomials (interpolation.rs:46-115)."""
     p = modulus
     xv = [int(x) % p for x in xs]
     if len(set(xv)) != len(xv):
         raise ValueError("interpolation points must be distinct")
+    if p < 1 << 32:
+        mat = _lagrange_matrix(xv, p)
+        return [Polynomial(row.tolist(), p) for row in mat]
     z = gen_polynomial_from_roots(xv, p).coeffs
     out = []
     for i, xi in enumerate(xv):
@@ -68,8 +108,19 @@ def interpolate_lagrange(xs, ys, modulus: int) -> Polynomial:
     if len(xs) != len(ys):
         raise ValueError("xs and ys must have equal length")
     p = modulus
-    basis = gen_lagrange_polynomials(xs, p)
     n = len(xs)
+    xv = [int(x) % p for x in xs]
+    if len(set(xv)) != len(xv):
+        raise ValueError("interpolation points must be distinct")
+    if p < 1 << 32 and n:
+        pp = np.uint64(p)
+        mat = _lagrange_matrix(xv, p)
+        yv = np.asarray([int(y) % p for y in ys], dtype=np.uint64)
+        acc = np.zeros(n, dtype=np.uint64)
+        for i in range(n):  # sum y_i * L_i without u64 overflow
+            acc = (acc + yv[i] * mat[i]) % pp
+        return Polynomial(acc.tolist(), p)
+    basis = gen_lagrange_polynomials(xs, p)
     acc = [0] * n
     for yi, li in zip(ys, basis):
         yv = int(yi) % p
