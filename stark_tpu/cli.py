@@ -62,11 +62,17 @@ def cmd_prove(args) -> int:
     log, mesh = _setup(args)
     cfg = _make_config(args)
     cfg.validate()
-    log.info("proving: 2^%d-1 rows, blowup %d, %d queries%s",
-             args.log2_trace, args.blowup, args.num_queries,
+    log.info("proving %s: 2^%d-1 rows, blowup %d, %d queries%s",
+             args.air, args.log2_trace, args.blowup, args.num_queries,
              f", {args.mesh}-device mesh" if mesh else "")
     t0 = time.perf_counter()
-    proof = prove(cfg, a1=args.secret, mesh=mesh)
+    if args.air == "mimc3":
+        from stark_tpu.stark import MimcAIR
+
+        air = MimcAIR(x0=args.secret, k=args.mimc_key)
+    else:
+        air = None
+    proof = prove(cfg, a1=args.secret, mesh=mesh, air=air)
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as fh:
         fh.write(proof.serialize())
@@ -123,7 +129,11 @@ def main(argv=None) -> int:
     p = sub.add_parser("prove", help="produce a STARK proof")
     _add_config_args(p)
     p.add_argument("--secret", type=int, default=3141592,
-                   help="the private a_1 (default: STARK-101's pi)")
+                   help="the private a_1 / x_0 (default: STARK-101's pi)")
+    p.add_argument("--air", default="fibonacci-square",
+                   choices=["fibonacci-square", "mimc3"],
+                   help="statement family to prove")
+    p.add_argument("--mimc-key", type=int, default=777)
     p.add_argument("-o", "--output", default="proof.json")
     p.set_defaults(fn=cmd_prove)
 

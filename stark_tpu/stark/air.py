@@ -1,0 +1,304 @@
+"""AIR (Algebraic Intermediate Representation) abstraction.
+
+The reference hardcodes a single statement (Fibonacci-square, and only as
+empty stubs — src/trace/, src/composition/, src/prover/ are 0 bytes).
+Here the statement is a pluggable object; the prover/verifier pipeline
+(trace -> LDE -> commit -> composition -> FRI -> queries) is generic over:
+
+* how the trace is generated (``build_trace``),
+* which row shifts the constraints read (``shifts`` — the openings per
+  query and the cyclic LDE rolls),
+* the pointwise composition on device (``Context.compose``) and its host
+  mirror for the verifier (``Context.cp_at``),
+* the composition degree bound (``num_folds`` — FRI folds until the
+  claimed degree reaches 0).
+
+Shipped AIRs:
+
+* :class:`FibonacciSquareAIR` — STARK-101's a_{i+2} = a_{i+1}^2 + a_i^2
+  (degree-2 transition, CP degree < N, log2(N) folds).
+* :class:`MimcAIR` — the MiMC-style cube permutation
+  x_{i+1} = (x_i + k)^3 (degree-3 transition, CP degree < 2N, so
+  log2(N)+1 folds and blowup >= 4 — exercising the framework paths a
+  second constraint family needs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stark_tpu.config import ProverConfig
+from stark_tpu.fields.fp import Fp
+from stark_tpu.ntt.reference_ntt import root_of_unity
+
+_U32 = jnp.uint32
+
+
+class AIR:
+    """Base interface; see module docstring.  Subclasses are lightweight
+    descriptors — heavy per-config state lives in their Context."""
+
+    name: str = "abstract"
+    shifts: tuple[int, ...] = (0,)
+    num_alphas: int = 0
+
+    def build_trace(self, cfg: ProverConfig):
+        raise NotImplementedError
+
+    def publics(self, trace) -> dict:
+        """Public statement extracted from the trace (host, tiny fetch)."""
+        raise NotImplementedError
+
+    def num_folds(self, cfg: ProverConfig) -> int:
+        raise NotImplementedError
+
+    def validate(self, cfg: ProverConfig) -> None:
+        cfg.validate()
+
+    def context(self, cfg: ProverConfig):
+        raise NotImplementedError
+
+
+class _BaseContext:
+    """Shared per-config tables: the LDE coset domain and x^N - 1
+    inverses (every AIR's quotients need them)."""
+
+    def __init__(self, cfg: ProverConfig):
+        cfg.validate()
+        p = cfg.modulus
+        f = Fp.get(p)
+        self.cfg = cfg
+        self.fp = f
+        self.N = cfg.trace_domain_size
+        self.M = cfg.eval_domain_size
+        self.g = root_of_unity(p, self.N)
+        self.w = root_of_unity(p, self.M)
+        self.domain = f.jit_coset_domain(cfg.offset, self.w, self.M)
+
+    def boundary_inv(self, point: int):
+        """1 / (x - point) on the LDE domain."""
+        f = self.fp
+        return jax.jit(lambda d: f.inv(f.sub(d, _U32(point % f.p))))(self.domain)
+
+    def zerofier_inv_excluding(self, excluded: tuple[int, ...]):
+        """prod(x - e for e in excluded) / (x^N - 1) on the LDE domain —
+        the transition-constraint multiplier."""
+        f = self.fp
+        N = self.N
+
+        @jax.jit
+        def build(domain):
+            xn = f.pow_static(domain, N)
+            mult = f.inv(f.sub(xn, _U32(1)))
+            for e in excluded:
+                mult = f.mul(mult, f.sub(domain, _U32(e % f.p)))
+            return mult
+
+        return build(self.domain)
+
+
+# ---------------------------------------------------------------------------
+# Fibonacci-square (STARK-101)
+# ---------------------------------------------------------------------------
+class FibonacciSquareAIR(AIR):
+    """a_{i+2} = a_{i+1}^2 + a_i^2; publics a_0 and a_{T-1}.  Constraint
+    layout exactly as STARK-101 (see stark_tpu.stark.composition)."""
+
+    name = "fibonacci-square"
+    shifts = (0, 1, 2)
+    num_alphas = 3
+
+    def __init__(self, a1: int = 3141592, a0: int = 1):
+        self.a0 = a0
+        self.a1 = a1
+
+    def build_trace(self, cfg: ProverConfig):
+        from stark_tpu.stark.trace import fibonacci_square_trace
+
+        return fibonacci_square_trace(cfg.modulus, cfg.trace_length, self.a0, self.a1)
+
+    def publics(self, trace) -> dict:
+        return {
+            "a0": int(np.asarray(trace[:1])[0]),
+            "a_last": int(np.asarray(trace[-1:])[0]),
+        }
+
+    def num_folds(self, cfg: ProverConfig) -> int:
+        return cfg.log2_trace  # CP degree < N
+
+    def context(self, cfg: ProverConfig):
+        return _FibContext(cfg)
+
+
+class _FibContext(_BaseContext):
+    def __init__(self, cfg: ProverConfig):
+        super().__init__(cfg)
+        p = cfg.modulus
+        g, N = self.g, self.N
+        self.inv_b0 = self.boundary_inv(1)
+        self.inv_b1 = self.boundary_inv(pow(g, N - 2, p))
+        self.trans_mult = self.zerofier_inv_excluding(
+            (pow(g, N - 3, p), pow(g, N - 2, p), pow(g, N - 1, p))
+        )
+        self._jit = jax.jit(self._compose)
+
+    def _compose(self, lde, alphas, a0, a_last):
+        f = self.fp
+        b = self.cfg.blowup
+        f_x = lde
+        f_gx = jnp.roll(lde, -b)
+        f_g2x = jnp.roll(lde, -2 * b)
+        p0 = f.mul(f.sub(f_x, a0), self.inv_b0)
+        p1 = f.mul(f.sub(f_x, a_last), self.inv_b1)
+        num = f.sub(f.sub(f_g2x, f.mul(f_gx, f_gx)), f.mul(f_x, f_x))
+        p2 = f.mul(num, self.trans_mult)
+        return f.add(
+            f.add(f.mul(alphas[0], p0), f.mul(alphas[1], p1)),
+            f.mul(alphas[2], p2),
+        )
+
+    def compose(self, lde, alphas, publics: dict):
+        al = jnp.asarray([a % self.fp.p for a in alphas], dtype=_U32)
+        return self._jit(lde, al, _U32(publics["a0"] % self.fp.p),
+                         _U32(publics["a_last"] % self.fp.p))
+
+    def cp_at(self, x: int, opened: list[int], alphas, publics: dict) -> int:
+        p = self.fp.p
+        N, g = self.N, self.g
+        fx, fgx, fg2x = opened
+        a0, a_last = publics["a0"], publics["a_last"]
+        p0 = (fx - a0) * pow((x - 1) % p, p - 2, p) % p
+        p1 = (fx - a_last) * pow((x - pow(g, N - 2, p)) % p, p - 2, p) % p
+        num = (fg2x - fgx * fgx - fx * fx) % p
+        cubic = (
+            (x - pow(g, N - 3, p)) * (x - pow(g, N - 2, p)) * (x - pow(g, N - 1, p))
+        ) % p
+        zn_inv = pow((pow(x, N, p) - 1) % p, p - 2, p)
+        p2 = num * cubic * zn_inv % p
+        return (alphas[0] * p0 + alphas[1] * p1 + alphas[2] * p2) % p
+
+
+# ---------------------------------------------------------------------------
+# MiMC cube chain
+# ---------------------------------------------------------------------------
+class MimcAIR(AIR):
+    """x_{i+1} = (x_i + k)^3 over GF(p); publics x_0 (input) and x_{T-1}
+    (output), round key k public.
+
+    Transition degree 3 => CP degree < 2N: one extra FRI fold and
+    blowup >= 4 required (enforced in validate)."""
+
+    name = "mimc3"
+    shifts = (0, 1)
+    num_alphas = 3
+
+    def __init__(self, x0: int = 271828, k: int = 777):
+        self.x0 = x0
+        self.k = k
+
+    def validate(self, cfg: ProverConfig) -> None:
+        cfg.validate()
+        if cfg.blowup < 4:
+            raise ValueError("MimcAIR needs blowup >= 4 (CP degree < 2N)")
+
+    def build_trace(self, cfg: ProverConfig):
+        return _mimc_trace_jit(cfg.modulus, cfg.trace_length, self.k)(
+            _U32(self.x0 % cfg.modulus)
+        )
+
+    def publics(self, trace) -> dict:
+        return {
+            "input": int(np.asarray(trace[:1])[0]),
+            "output": int(np.asarray(trace[-1:])[0]),
+            "k": self.k,
+        }
+
+    def num_folds(self, cfg: ProverConfig) -> int:
+        return cfg.log2_trace + 1  # CP degree < 2N
+
+    def context(self, cfg: ProverConfig):
+        return _MimcContext(cfg, self.k)
+
+
+@functools.lru_cache(maxsize=None)
+def _mimc_trace_jit(p: int, length: int, k: int):
+    f = Fp.get(p)
+
+    def gen(x0):
+        def step(x, _):
+            t = f.add(x, _U32(k % p))
+            return f.mul(f.mul(t, t), t), x
+
+        _, out = jax.lax.scan(step, x0, None, length=length)
+        return out
+
+    return jax.jit(gen)
+
+
+class _MimcContext(_BaseContext):
+    def __init__(self, cfg: ProverConfig, k: int):
+        super().__init__(cfg)
+        p = cfg.modulus
+        g, N = self.g, self.N
+        self.k = k
+        self.inv_b0 = self.boundary_inv(1)
+        self.inv_b1 = self.boundary_inv(pow(g, N - 2, p))
+        # transition holds at g^0..g^{T-2}; excluded: g^{N-2}, g^{N-1}
+        self.trans_mult = self.zerofier_inv_excluding(
+            (pow(g, N - 2, p), pow(g, N - 1, p))
+        )
+        self._jit = jax.jit(self._compose)
+
+    def _compose(self, lde, alphas, x0, x_out):
+        f = self.fp
+        b = self.cfg.blowup
+        f_x = lde
+        f_gx = jnp.roll(lde, -b)
+        p0 = f.mul(f.sub(f_x, x0), self.inv_b0)
+        p1 = f.mul(f.sub(f_x, x_out), self.inv_b1)
+        t = f.add(f_x, _U32(self.k % f.p))
+        cube = f.mul(f.mul(t, t), t)
+        num = f.sub(f_gx, cube)
+        p2 = f.mul(num, self.trans_mult)
+        return f.add(
+            f.add(f.mul(alphas[0], p0), f.mul(alphas[1], p1)),
+            f.mul(alphas[2], p2),
+        )
+
+    def compose(self, lde, alphas, publics: dict):
+        al = jnp.asarray([a % self.fp.p for a in alphas], dtype=_U32)
+        return self._jit(lde, al, _U32(publics["input"] % self.fp.p),
+                         _U32(publics["output"] % self.fp.p))
+
+    def cp_at(self, x: int, opened: list[int], alphas, publics: dict) -> int:
+        p = self.fp.p
+        N, g = self.N, self.g
+        fx, fgx = opened
+        p0 = (fx - publics["input"]) * pow((x - 1) % p, p - 2, p) % p
+        p1 = (fx - publics["output"]) * pow((x - pow(g, N - 2, p)) % p, p - 2, p) % p
+        t = (fx + publics["k"]) % p
+        num = (fgx - t * t % p * t) % p
+        excl = (x - pow(g, N - 2, p)) * (x - pow(g, N - 1, p)) % p
+        zn_inv = pow((pow(x, N, p) - 1) % p, p - 2, p)
+        p2 = num * excl * zn_inv % p
+        return (alphas[0] * p0 + alphas[1] * p1 + alphas[2] * p2) % p
+
+
+# ---------------------------------------------------------------------------
+REGISTRY: dict[str, type[AIR]] = {
+    FibonacciSquareAIR.name: FibonacciSquareAIR,
+    MimcAIR.name: MimcAIR,
+}
+
+
+def air_from_name(name: str, publics: dict) -> AIR:
+    """Reconstruct a verifier-side AIR instance from a proof's statement."""
+    if name == FibonacciSquareAIR.name:
+        return FibonacciSquareAIR(a0=publics.get("a0", 1))
+    if name == MimcAIR.name:
+        return MimcAIR(x0=publics.get("input", 0), k=publics.get("k", 0))
+    raise ValueError(f"unknown AIR {name!r}")

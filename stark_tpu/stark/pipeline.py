@@ -51,9 +51,7 @@ def build_prove_core(cfg: ProverConfig):
         padded = jnp.zeros((M,), dtype=_U32).at[:N].set(shifted)
         f_evals = plan_f(padded)
         levels = merkle(f_evals)
-        cp = ctx._compose(
-            f_evals, alphas, a0, a_last, ctx.inv_b0, ctx.inv_b1, ctx.trans_mult
-        )
+        cp = ctx._compose(f_evals, alphas, a0, a_last)
         folded = fold(cp, beta, inv_dom)
         return levels[-1], cp, folded
 

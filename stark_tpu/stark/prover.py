@@ -1,38 +1,53 @@
 """Top-level STARK prover — fills the reference's empty ``src/prover/``
-stub (0 bytes, SURVEY §2).  Orchestrates the full pipeline:
+stub (0 bytes, SURVEY §2).  Orchestrates the full pipeline, generic over
+the AIR (stark_tpu.stark.air):
 
     trace -> trace polynomial (INTT) -> LDE on coset (NTT) ->
     Merkle-commit trace -> draw alphas -> composition polynomial ->
     FRI commit/fold (per-layer Merkle + beta) -> per-query decommitment
 
 Host<->device traffic is the protocol minimum (SURVEY §3.3): one 32-byte
-root per commitment up, one challenge scalar down, and the opened query
-values at the end.
+root per commitment up, one challenge scalar down, and ONE batched fetch
+per query at the end.
 """
 
 from __future__ import annotations
 
 import dataclasses
-
-import numpy as np
+import functools
 
 from stark_tpu.channel.channel import Channel
 from stark_tpu.config import ProverConfig
-from stark_tpu.fri.commit import FRIProof, decommit_fri_layers, fri_commit
+from stark_tpu.fri.commit import FRIProof, fri_commit
 from stark_tpu.merkle.tree import MerkleTree
 from stark_tpu.ntt.ntt import coset_evaluate
-from stark_tpu.stark.composition import get_context
-from stark_tpu.stark.trace import fibonacci_square_trace, trace_polynomial
+from stark_tpu.stark.trace import trace_polynomial
 
 
 @dataclasses.dataclass
 class StarkProof:
-    """A complete proof: the transcript plus the public statement."""
+    """A complete proof: the transcript plus the public statement.
+
+    `a0` / `a_last` are the first/last trace values (the two universal
+    publics); AIRs with more statement data put it in `extra_publics`.
+    """
 
     proof: list[bytes]
     a0: int
     a_last: int
     config: ProverConfig
+    air_name: str = "fibonacci-square"
+    extra_publics: dict | None = None
+
+    @property
+    def publics(self) -> dict:
+        if self.air_name == "fibonacci-square":
+            base = {"a0": self.a0, "a_last": self.a_last}
+        else:
+            base = {"input": self.a0, "output": self.a_last}
+        if self.extra_publics:
+            base.update(self.extra_publics)
+        return base
 
     def size_bytes(self) -> int:
         return sum(len(m) for m in self.proof)
@@ -49,8 +64,10 @@ class StarkProof:
                     "blowup": self.config.blowup,
                     "num_queries": self.config.num_queries,
                 },
+                "air": self.air_name,
                 "a0": self.a0,
                 "a_last": self.a_last,
+                "extra_publics": self.extra_publics,
                 "proof": [m.hex() for m in self.proof],
             }
         ).encode()
@@ -72,7 +89,22 @@ class StarkProof:
                 blowup=c["blowup"],
                 num_queries=c["num_queries"],
             ),
+            air_name=obj.get("air", "fibonacci-square"),
+            extra_publics=obj.get("extra_publics"),
         )
+
+
+_CTX_CACHE: dict = {}
+
+
+def get_air_context(air, cfg: ProverConfig):
+    """Per-(AIR, config) context cache (tables + jitted composer)."""
+    key = (air.name, getattr(air, "k", None), cfg)
+    ctx = _CTX_CACHE.get(key)
+    if ctx is None:
+        ctx = air.context(cfg)
+        _CTX_CACHE[key] = ctx
+    return ctx
 
 
 def prove(
@@ -82,25 +114,31 @@ def prove(
     strict: bool = True,
     mesh=None,
     channel: Channel | None = None,
+    air=None,
 ) -> StarkProof:
-    """Prove knowledge of a Fibonacci-square trace with the given secret
-    a_1 (or an explicit device trace of length 2^k - 1).
+    """Prove a statement of the given AIR (default: Fibonacci-square with
+    secret a_1, the reference's statement).
 
     With `mesh`, the LDE NTT, Merkle hashing, composition, and FRI folds
     run sharded over the device mesh; the transcript is byte-identical to
     the single-device prove (mesh-shape determinism, SURVEY §4)."""
-    cfg.validate()
+    if air is None:
+        from stark_tpu.stark.air import FibonacciSquareAIR
+
+        air = FibonacciSquareAIR(a1=a1)
+    air.validate(cfg)
     p = cfg.modulus
     M = cfg.eval_domain_size
     b = cfg.blowup
     h = cfg.offset
+    offsets = [s * b for s in air.shifts]
+    max_off = max(offsets)
 
     # -- trace + LDE ------------------------------------------------------
     if trace is None:
-        trace = fibonacci_square_trace(p, cfg.trace_length, 1, a1)
-    trace_host_ends = np.asarray(trace[:1]), np.asarray(trace[-1:])
-    a0 = int(trace_host_ends[0][0])
-    a_last = int(trace_host_ends[1][0])
+        trace = air.build_trace(cfg)
+    publics = air.publics(trace)
+    pub_vals = list(publics.values())
     coeffs = trace_polynomial(trace, p)
     if mesh is not None:
         from stark_tpu.dist import dist_coset_evaluate
@@ -123,18 +161,20 @@ def prove(
 
     # -- composition -------------------------------------------------------
     channel.mark_phase("composition")
-    alphas = tuple(channel.receive_random_field_element().value for _ in range(3))
-    ctx = get_context(cfg)
-    cp = ctx.compose(f_evals, alphas, a0, a_last)
+    alphas = tuple(
+        channel.receive_random_field_element().value for _ in range(air.num_alphas)
+    )
+    ctx = get_air_context(air, cfg)
+    cp = ctx.compose(f_evals, alphas, publics)
 
     # -- FRI ---------------------------------------------------------------
     fri_proof: FRIProof = fri_commit(
-        cp, p, h, channel, num_folds=cfg.log2_trace, strict=strict, mesh=mesh
+        cp, p, h, channel, num_folds=air.num_folds(cfg), strict=strict, mesh=mesh
     )
 
     # -- queries -----------------------------------------------------------
     # One batched device gather + ONE device->host transfer per query:
-    # the three trace openings + their paths + every FRI layer's openings.
+    # the trace openings + their paths + every FRI layer's openings.
     from stark_tpu.fri.commit import collect_query_arrays, emit_plan, plan_fri_query
     from stark_tpu.utils.gather import BatchGather
 
@@ -145,10 +185,10 @@ def prove(
         extra_arrays=(f_evals, *trace_tree.levels[:-1]),
     )
     for _ in range(cfg.num_queries):
-        idx = channel.receive_random_int(0, M - 2 * b - 1, True)
+        idx = channel.receive_random_int(0, M - max_off - 1, True)
         bg = BatchGather(arrays)
         plan = []
-        for off in (0, b, 2 * b):
+        for off in offsets:
             plan.append(("v", bg.want(slots[id(f_evals)], idx + off)))
             plan.append(
                 (
@@ -165,9 +205,13 @@ def prove(
         bg.run()
         emit_plan(plan, bg, channel)
 
+    extra = {k: v for k, v in publics.items()
+             if k not in ("a0", "a_last", "input", "output")}
     return StarkProof(
         proof=[bytes(m) for m in channel.proof],
-        a0=a0,
-        a_last=a_last,
+        a0=pub_vals[0],
+        a_last=pub_vals[1],
         config=cfg,
+        air_name=air.name,
+        extra_publics=extra or None,
     )

@@ -1,17 +1,17 @@
-"""STARK verifier — host side, replays the full prove transcript.
+"""STARK verifier — host side, replays the full prove transcript,
+generic over the AIR.
 
-Checks, per query: the three trace openings against the trace Merkle root,
-the recomputed composition value against the FRI layer-0 opening (binding
-trace to FRI), every FRI layer's Merkle proofs, the fold relation between
-layers, and the final constant.  All challenges (alphas, betas, query
-indices) are re-derived from the transcript — any tampering desynchronizes
-the Fiat-Shamir state and fails.
+Checks, per query: the trace openings (one per AIR shift) against the
+trace Merkle root, the recomputed composition value against the FRI
+layer-0 opening (binding trace to FRI), every FRI layer's Merkle proofs,
+the fold relation between layers, and the final constant.  All challenges
+(alphas, betas, query indices) are re-derived from the transcript — any
+tampering desynchronizes the Fiat-Shamir state and fails.
 """
 
 from __future__ import annotations
 
 from stark_tpu.channel.channel import ChannelError, VerifierChannel
-from stark_tpu.config import ProverConfig
 from stark_tpu.fri.verify import (
     FRIVerificationError,
     replay_commit,
@@ -19,36 +19,44 @@ from stark_tpu.fri.verify import (
 )
 from stark_tpu.merkle.tree import MerkleTree
 from stark_tpu.ntt.reference_ntt import root_of_unity
-from stark_tpu.stark.composition import get_context
-from stark_tpu.stark.prover import StarkProof
+from stark_tpu.stark.prover import StarkProof, get_air_context
 
 
 class StarkVerificationError(Exception):
     pass
 
 
-def verify(proof: StarkProof) -> bool:
-    """Verify a STARK proof against its public statement (a0, a_last).
+def verify(proof: StarkProof, air=None) -> bool:
+    """Verify a STARK proof against its public statement.
     Raises StarkVerificationError on failure; True on success."""
     cfg = proof.config
-    cfg.validate()
+    if air is None:
+        from stark_tpu.stark.air import air_from_name
+
+        air = air_from_name(proof.air_name, proof.publics)
+    air.validate(cfg)
     p = cfg.modulus
     M = cfg.eval_domain_size
     b = cfg.blowup
     h = cfg.offset
     w = root_of_unity(p, M)
-    ctx = get_context(cfg)
+    ctx = get_air_context(air, cfg)
+    offsets = [s * b for s in air.shifts]
+    max_off = max(offsets)
+    publics = proof.publics
 
     try:
         ch = VerifierChannel(p, proof.proof)
         trace_root = ch.read().decode()
-        alphas = tuple(ch.receive_random_field_element().value for _ in range(3))
-        roots, betas, final_value = replay_commit(ch, cfg.log2_trace)
+        alphas = tuple(
+            ch.receive_random_field_element().value for _ in range(air.num_alphas)
+        )
+        roots, betas, final_value = replay_commit(ch, air.num_folds(cfg))
 
         for q in range(cfg.num_queries):
-            idx = ch.receive_random_int(0, M - 2 * b - 1, True)
+            idx = ch.receive_random_int(0, M - max_off - 1, True)
             opened = []
-            for off in (0, b, 2 * b):
+            for off in offsets:
                 val = int.from_bytes(ch.read(), "big")
                 path = ch.read()
                 if not MerkleTree.validate(
@@ -58,11 +66,8 @@ def verify(proof: StarkProof) -> bool:
                         f"query {q}: trace Merkle proof fails at offset {off}"
                     )
                 opened.append(val)
-            fx, fgx, fg2x = opened
             x = h * pow(w, idx, p) % p
-            cp_expected = ctx.cp_at(
-                x, fx, fgx, fg2x, alphas, proof.a0, proof.a_last
-            )
+            cp_expected = ctx.cp_at(x, opened, alphas, publics)
             verify_query_layers(
                 ch, idx, roots, betas, final_value, p, M, h,
                 expect_first=cp_expected, label=f"query {q}: ",
