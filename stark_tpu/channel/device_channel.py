@@ -1,0 +1,199 @@
+"""Device-resident Fiat-Shamir state machine.
+
+The host channel (stark_tpu.channel.channel) is the canonical transcript,
+but driving it during the commit phases forces a host<->device round trip
+per commitment (fetch root -> absorb -> upload challenge).  This module
+reproduces the EXACT state machine on device — SHA-256 over the UTF-8
+bytes of concatenated hex strings (channel.rs:35-44), including the
+double hex expansion (messages are themselves ASCII-hex root strings,
+fri_commit.rs:86: ``send(root().to_vec())``) — so the whole
+commit->challenge->fold chain pipelines on device with ZERO syncs; the
+host replays the canonical transcript afterwards from one batched fetch
+of the root digests and asserts the states agree by construction.
+
+State representation: the 8 uint32 digest words whose lowercase hex IS
+the channel's state string.  All inputs here are 32-byte digests (the
+only message type the commit phases send), so block layouts are static:
+
+* absorb (empty state):   128 bytes  -> 2 blocks + pad block
+* absorb (64-char state): 192 bytes  -> 3 blocks + pad block
+* advance (draw):          64 bytes  -> 1 block  + pad block
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from stark_tpu.fields.fp import Fp
+from stark_tpu.hash.sha256_jax import _H0, _compress_fixed
+
+_U32 = jnp.uint32
+
+
+def _nibbles(words):
+    """(k,) u32 -> (8k,) u32 of nibbles, most significant first."""
+    out = []
+    for i in range(words.shape[0]):
+        w = words[i]
+        for s in range(28, -4, -4):
+            out.append((w >> _U32(s)) & _U32(0xF))
+    return jnp.stack(out)
+
+
+def _ascii_hex_words(words):
+    """(k,) u32 -> (2k,) u32: the UTF-8 bytes of the lowercase hex string,
+    packed big-endian 4 chars per word (what SHA consumes)."""
+    nib = _nibbles(words)  # (8k,)
+    ch = jnp.where(nib < _U32(10), _U32(0x30) + nib, _U32(0x57) + nib)
+    ch4 = ch.reshape(-1, 4)
+    return (
+        (ch4[:, 0] << _U32(24)) | (ch4[:, 1] << _U32(16))
+        | (ch4[:, 2] << _U32(8)) | ch4[:, 3]
+    )
+
+
+def _double_hex_words(digest):
+    """(8,) u32 digest -> (32,) u32: hex(utf8-hex(digest)) packed — the
+    bytes send() hashes when the message is itself an ASCII hex string.
+
+    nibble v expands to two chars: ('3' if v<10 else '6') and
+    chr(0x30 + (v if v<10 else v-9))."""
+    nib = _nibbles(digest)  # (64,)
+    hi = jnp.where(nib < _U32(10), _U32(0x33), _U32(0x36))
+    lo = _U32(0x30) + jnp.where(nib < _U32(10), nib, nib - _U32(9))
+    ch = jnp.stack([hi, lo], axis=1).reshape(-1)  # (128,) chars
+    ch4 = ch.reshape(-1, 4)
+    return (
+        (ch4[:, 0] << _U32(24)) | (ch4[:, 1] << _U32(16))
+        | (ch4[:, 2] << _U32(8)) | ch4[:, 3]
+    )
+
+
+def _sha(words, total_bytes: int):
+    """SHA-256 of a packed big-endian char-word sequence of static length
+    (multiple of 64 bytes), on device, single lane."""
+    state = [jnp.full((), _U32(h)) for h in _H0]
+    blocks = [words[i * 16 : (i + 1) * 16] for i in range(total_bytes // 64)]
+    for blk in blocks:
+        state = _compress_fixed(state, [blk[i] for i in range(16)])
+    # padding block (message length is a multiple of 64)
+    zero = jnp.zeros((), _U32)
+    pad = [jnp.full((), _U32(0x80000000))] + [zero] * 14 + [
+        jnp.full((), _U32(total_bytes * 8))
+    ]
+    state = _compress_fixed(state, pad)
+    return jnp.stack(state)
+
+
+def absorb_digest(state, digest):
+    """send(hex_string_of(digest).encode()): state' words.
+    `state` is an (8,) u32 array or None (initial empty state)."""
+    msg = _double_hex_words(digest)  # (32,) words = 128 bytes
+    if state is None:
+        return _sha(msg, 128)
+    st = _ascii_hex_words(state)  # (16,) words = 64 bytes
+    return _sha(jnp.concatenate([st, msg]), 192)
+
+
+def advance(state):
+    """state' = sha256(utf8(state_hex)) (channel.rs:75-76)."""
+    return _sha(_ascii_hex_words(state), 64)
+
+
+def state_mod(state, p: int):
+    """int(state_hex, 16) mod p as a canonical u32 scalar — the
+    receive_random_int value for min=0, range=p (channel.rs:69-72)."""
+    f = Fp.get(p)
+    acc = jnp.zeros((), _U32)
+    r = _U32(f.r)  # 2^32 mod p
+    for i in range(8):
+        w = state[i] % _U32(p)  # reduce the raw u32 word
+        acc = f.add(f.mul(acc, r), w)
+    return acc
+
+
+def draw_field_element(state, p: int):
+    """(value, new_state) of receive_random_field_element — value equals
+    the low 64 bits of state mod p (p < 2^32 so the u32 value is exact)."""
+    return state_mod(state, p), advance(state)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_absorb_initial():
+    return jax.jit(lambda d: absorb_digest(None, d))
+
+
+@functools.lru_cache(maxsize=None)
+def jit_absorb():
+    return jax.jit(absorb_digest)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_draw(p: int):
+    return jax.jit(lambda s: draw_field_element(s, p))
+
+
+class DeviceFS:
+    """Device-side mirror of a host Channel from a given state onward.
+
+    Commit phases call :meth:`absorb_root` (with the (8,) u32 root digest
+    still on device) and :meth:`draw` (device challenge scalar, usable
+    directly in folds/composition) — no host sync.  :meth:`finalize`
+    fetches the whole log in ONE transfer, replays the canonical
+    transcript into the host channel, and asserts every device-derived
+    challenge equals the host derivation.
+    """
+
+    def __init__(self, p: int, state_hex: str = ""):
+        import numpy as np
+
+        self.p = p
+        if state_hex:
+            self.state = jnp.asarray(
+                np.frombuffer(bytes.fromhex(state_hex), dtype=">u4").astype(
+                    np.uint32
+                )
+            )
+        else:
+            self.state = None
+        self.log: list[tuple[str, jax.Array]] = []
+
+    def absorb_root(self, digest) -> None:
+        """send(root_hex.encode()) — digest: (8,) u32 device array."""
+        if self.state is None:
+            self.state = jit_absorb_initial()(digest)
+        else:
+            self.state = jit_absorb()(self.state, digest)
+        self.log.append(("root", digest))
+
+    def draw(self) -> jax.Array:
+        """receive_random_field_element as a device u32 scalar."""
+        if self.state is None:
+            raise ValueError("draw before any absorb (empty channel state)")
+        v, self.state = jit_draw(self.p)(self.state)
+        self.log.append(("draw", v))
+        return v
+
+    def finalize(self, channel, extras=()) -> list:
+        """Replay the log into `channel` (which must be at this FS's
+        construction state); returns the fetched `extras` arrays."""
+        import numpy as np
+
+        fetched = jax.device_get([payload for _, payload in self.log]
+                                 + list(extras))
+        ex = fetched[len(self.log):]
+        for (kind, _), host_val in zip(self.log, fetched):
+            if kind == "root":
+                root_hex = np.asarray(host_val).astype(">u4").tobytes().hex()
+                channel.send(root_hex.encode())
+            else:
+                el = channel.receive_random_field_element()
+                if el.value != int(host_val):
+                    raise RuntimeError(
+                        "device Fiat-Shamir diverged from host transcript "
+                        f"({int(host_val)} != {el.value})"
+                    )
+        return ex

@@ -135,19 +135,10 @@ class _SubPlan:
     the last axis, Montgomery domain in/out, no 1/n scale)."""
 
     def __init__(self, p: int, n: int, root: int):
+        from stark_tpu.ntt.ntt import _stage_twiddles
+
         self.fp = Fp.get(p)
-        f = self.fp
-        tw = []
-        l = n
-        while l > 1:
-            lh = l // 2
-            wl = pow(root, n // l, p)
-            t = f.jit_to_mont(f.jit_powers(wl, lh)) if lh > 1 else jnp.full(
-                (1,), _U32(f.r)
-            )
-            tw.append(t)
-            l = lh
-        self._twiddles = tuple(tw)
+        self._twiddles = _stage_twiddles(p, n, root)
         self.n = n
         # reuse NTTPlan's stage loop via a tiny shim
         self._shim = get_plan(p, n, False)

@@ -111,29 +111,35 @@ def fri_commit(
             return dist_merkle_tree(vals, mesh)
         return MerkleTree(vals)
 
+    from stark_tpu.channel.device_channel import DeviceFS
+
     evals = jnp.asarray(evals, dtype=_U32)
     offset = int(offset) % p
     layers = [evals]
     offsets = [offset]
     trees = [_tree(evals)]
     channel.mark_phase("fri-commit")
-    channel.send(trees[0].root().encode())
+
+    # The whole commit->challenge->fold chain runs with a device-resident
+    # Fiat-Shamir state: no host sync per layer (each costs a full round
+    # trip); the canonical host transcript is replayed from ONE fetch.
+    fs = DeviceFS(p, channel.state)
+    fs.absorb_root(trees[0].levels[-1][0])
 
     size, off = n, offset
     for _ in range(num_folds):
-        beta = channel.receive_random_field_element()
-        evals = _fold_jit(p, size)(
-            evals, _U32(beta.value), _inv_domain(p, size, off)
-        )
+        beta = fs.draw()  # device scalar, feeds the fold directly
+        evals = _fold_jit(p, size)(evals, beta, _inv_domain(p, size, off))
         size //= 2
         off = off * off % p
         layers.append(evals)
         offsets.append(off)
         tree = _tree(evals)
         trees.append(tree)
-        channel.send(tree.root().encode())
+        fs.absorb_root(tree.levels[-1][0])
 
-    final_vals = np.asarray(layers[-1])
+    (final_vals,) = fs.finalize(channel, extras=[layers[-1]])
+    final_vals = np.asarray(final_vals)
     final_value = int(final_vals[0])
     if strict and not np.all(final_vals == final_vals[0]):
         raise ValueError(

@@ -37,6 +37,27 @@ def get_plan(p: int, n: int, inverse: bool = False) -> "NTTPlan":
     return NTTPlan(p, n, inverse)
 
 
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(p: int, n: int, w: int) -> tuple:
+    """All Stockham stage twiddles (mont form) as one jitted computation."""
+    f = Fp.get(p)
+
+    def build():
+        out = []
+        l = n
+        while l > 1:
+            lh = l // 2
+            wl = pow(w, n // l, p)
+            t = f.to_mont(f.powers(wl, lh)) if lh > 1 else jnp.full(
+                (1,), _U32(f.r)
+            )
+            out.append(t)
+            l = lh
+        return tuple(out)
+
+    return jax.jit(build)()
+
+
 class NTTPlan:
     """Compiled NTT of fixed size n over GF(p).  Use :func:`get_plan`."""
 
@@ -55,19 +76,10 @@ class NTTPlan:
         self.w = w
         # Twiddles per stage, Montgomery form.  Stage with half-length lh
         # needs [wl^0 .. wl^(lh-1)], wl = w^(n/l) (a primitive l-th root).
-        f = self.fp
-        tw = []
-        l = n
-        while l > 1:
-            lh = l // 2
-            wl = pow(w, n // l, p)
-            t = f.jit_to_mont(f.jit_powers(wl, lh)) if lh > 1 else jnp.full(
-                (1,), _U32(f.r)
-            )
-            tw.append(t)
-            l = lh
-        self._twiddles = tuple(tw)
-        self._ninv_mont = _U32(pow(n, p - 2, p) * f.r % p)  # mont(n^-1)
+        # Built in ONE jit call — per-stage dispatches cost ~0.5 s each of
+        # round-trip latency on the tunneled TPU.
+        self._twiddles = _stage_twiddles(p, n, w)
+        self._ninv_mont = _U32(pow(n, p - 2, p) * self.fp.r % p)  # mont(n^-1)
         self._jit = jax.jit(self._transform)
 
     # -- core -------------------------------------------------------------

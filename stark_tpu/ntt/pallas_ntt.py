@@ -44,18 +44,21 @@ def _stage_twiddles_mont(fp: Fp, length: int, root: int):
     twiddle repeated m times) — so the kernel only ever broadcasts across
     LANES (Mosaic rejects combined sublane+lane broadcasts)."""
     p = fp.p
-    parts = []
-    l, m = length, 1
-    while l > 1:
-        lh = l // 2
-        wl = pow(root, length // l, p)
-        tw = fp.jit_to_mont(fp.jit_powers(wl, lh))
-        parts.append(jnp.repeat(tw, m))  # (lh*m,) == (length/2,)
-        l, m = lh, 2 * m
-    if not parts:
-        parts = [jnp.zeros((1,), _U32)]
-    flat = jnp.concatenate(parts)
-    return flat[:, None]  # (length/2 * log2(length), 1)
+
+    def build():
+        parts = []
+        l, m = length, 1
+        while l > 1:
+            lh = l // 2
+            wl = pow(root, length // l, p)
+            tw = fp.to_mont(fp.powers(wl, lh))
+            parts.append(jnp.repeat(tw, m))  # (lh*m,) == (length/2,)
+            l, m = lh, 2 * m
+        if not parts:
+            parts = [jnp.zeros((1,), _U32)]
+        return jnp.concatenate(parts)[:, None]
+
+    return jax.jit(build)()  # one dispatch (tunnel round trips are ~0.5s)
 
 
 def _stages_axis0(fp: Fp, xm, tws_ref, length: int):

@@ -63,6 +63,14 @@ class AIR:
         raise NotImplementedError
 
 
+def _alphas_arr(alphas, p: int):
+    """Challenge tuple -> (k,) u32 device array; accepts host ints or the
+    device scalars a DeviceFS draw produces."""
+    if isinstance(alphas[0], (int, np.integer)):
+        return jnp.asarray([int(a) % p for a in alphas], dtype=_U32)
+    return jnp.stack(list(alphas))
+
+
 class _BaseContext:
     """Shared per-config tables: the LDE coset domain and x^N - 1
     inverses (every AIR's quotients need them)."""
@@ -162,8 +170,8 @@ class _FibContext(_BaseContext):
         )
 
     def compose(self, lde, alphas, publics: dict):
-        al = jnp.asarray([a % self.fp.p for a in alphas], dtype=_U32)
-        return self._jit(lde, al, _U32(publics["a0"] % self.fp.p),
+        return self._jit(lde, _alphas_arr(alphas, self.fp.p),
+                         _U32(publics["a0"] % self.fp.p),
                          _U32(publics["a_last"] % self.fp.p))
 
     def cp_at(self, x: int, opened: list[int], alphas, publics: dict) -> int:
@@ -270,8 +278,8 @@ class _MimcContext(_BaseContext):
         )
 
     def compose(self, lde, alphas, publics: dict):
-        al = jnp.asarray([a % self.fp.p for a in alphas], dtype=_U32)
-        return self._jit(lde, al, _U32(publics["input"] % self.fp.p),
+        return self._jit(lde, _alphas_arr(alphas, self.fp.p),
+                         _U32(publics["input"] % self.fp.p),
                          _U32(publics["output"] % self.fp.p))
 
     def cp_at(self, x: int, opened: list[int], alphas, publics: dict) -> int:

@@ -157,13 +157,17 @@ def prove(
         trace_tree = dist_merkle_tree(f_evals, mesh)
     else:
         trace_tree = MerkleTree(f_evals)
-    channel.send(trace_tree.root().encode())
+    # device-resident Fiat-Shamir for root absorption + alpha draws (one
+    # batched fetch instead of a sync per interaction)
+    from stark_tpu.channel.device_channel import DeviceFS
+
+    fs = DeviceFS(p, channel.state)
+    fs.absorb_root(trace_tree.levels[-1][0])
+    alphas = tuple(fs.draw() for _ in range(air.num_alphas))
+    fs.finalize(channel)
 
     # -- composition -------------------------------------------------------
     channel.mark_phase("composition")
-    alphas = tuple(
-        channel.receive_random_field_element().value for _ in range(air.num_alphas)
-    )
     ctx = get_air_context(air, cfg)
     cp = ctx.compose(f_evals, alphas, publics)
 
