@@ -184,19 +184,28 @@ def main():
     results[f"fri_prove_2e{log_deg}_ms"] = t_fri * 1e3
     log(f"FRI commit+decommit deg 2^{log_deg} blowup {blowup}: {t_fri*1e3:.1f} ms")
 
-    # -- 5. full STARK prove ----------------------------------------------
-    if args.full_prove:
-        from stark_tpu.stark import prove, verify
+    # -- 5. full STARK prove (always: warm wall time at 2^14) --------------
+    from stark_tpu.stark import prove, verify
 
-        log2_tr = 12 if args.quick else 18
-        cfg = ProverConfig(log2_trace=log2_tr, blowup=8, num_queries=16)
+    log2_tr = 10 if args.quick else 14
+    cfg = ProverConfig(log2_trace=log2_tr, blowup=4, num_queries=16)
+    t0 = time.perf_counter()
+    proof = prove(cfg)
+    log(f"STARK prove 2^{log2_tr} first (compiles): {time.perf_counter()-t0:.1f} s")
+    t_pv = median_time(lambda: prove(cfg), reps=3, warmup=0)
+    results[f"stark_prove_2e{log2_tr}_warm_ms"] = t_pv * 1e3
+    assert verify(proof)
+    log(f"STARK prove 2^{log2_tr} rows (warm): {t_pv*1e3:.0f} ms (verified)")
+
+    if args.full_prove:
+        cfg = ProverConfig(log2_trace=18, blowup=8, num_queries=16)
         t0 = time.perf_counter()
         proof = prove(cfg)
-        log(f"STARK prove 2^{log2_tr} first (compiles): {time.perf_counter()-t0:.1f} s")
+        log(f"STARK prove 2^18 first (compiles): {time.perf_counter()-t0:.1f} s")
         t_pv = median_time(lambda: prove(cfg), reps=3, warmup=0)
-        results[f"stark_prove_2e{log2_tr}_ms"] = t_pv * 1e3
+        results["stark_prove_2e18_warm_ms"] = t_pv * 1e3
         assert verify(proof)
-        log(f"STARK prove 2^{log2_tr} rows: {t_pv*1e3:.0f} ms (verified)")
+        log(f"STARK prove 2^18 rows (warm): {t_pv*1e3:.0f} ms (verified)")
 
     os.makedirs("benches", exist_ok=True)
     with open("benches/latest.json", "w") as fh:
