@@ -84,7 +84,6 @@ def main():
 
     results = {"device": str(dev), "platform": dev.platform}
     f = Fp.get(P)
-    rng = np.random.default_rng(0)
 
     def dev_rand(n, salt=1):
         """Pseudo-random field elements generated ON device (the tunneled
@@ -142,12 +141,18 @@ def main():
         f"-> speedup {vs_baseline:.1f}x")
 
     # -- 3. Merkle 2^22 leaves (BASELINE config #4) ------------------------
-    from stark_tpu.merkle.tree import _build_jit
+    from stark_tpu.merkle.tree import _build_jit, _use_pallas_build
 
     log_m = 16 if args.quick else 22
     m = 1 << log_m
     leaves = dev_rand(m, 4)
-    build = _build_jit(m)
+    if _use_pallas_build(m):
+        from stark_tpu.hash.pallas_sha import build_jit_pallas
+
+        build = build_jit_pallas(m)
+        log("merkle: using Pallas VMEM-resident SHA kernels")
+    else:
+        build = _build_jit(m)
     t0 = time.perf_counter()
     jax.block_until_ready(build(leaves))
     log(f"Merkle 2^{log_m} compile+first: {time.perf_counter()-t0:.1f} s")

@@ -22,11 +22,10 @@ twiddle tables are precomputed sharded device arrays.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from stark_tpu.dist.mesh import SHARD_AXIS
 from stark_tpu.fields.fp import Fp

@@ -14,7 +14,6 @@ per query at the end.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 from stark_tpu.channel.channel import Channel
 from stark_tpu.config import ProverConfig
