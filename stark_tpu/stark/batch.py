@@ -1,0 +1,233 @@
+"""Batched (data-parallel) proving — many statements, one device program.
+
+The DP strategy of SURVEY §2.9: the reference's only parallelism is
+rayon threads inside one proof; on TPU the natural data parallelism is a
+*batch axis over independent proofs*.  Every device phase — trace scan,
+INTT + degree correction, coset NTT, Merkle levels, SHA-256 Fiat-Shamir
+absorption/draws, composition, FRI folds — is evaluated for all B proofs
+in one set of fused kernels (the batch rides the leading axis; hash
+lanes and butterfly lanes fill the VPU), then the B transcripts are
+assembled host-side.
+
+Transcripts are BYTE-IDENTICAL to B independent `prove()` calls — tested
+— so batching is purely a throughput optimization: ~B x fewer kernel
+launches and host round trips per proof.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stark_tpu.channel.channel import Channel
+from stark_tpu.channel.device_channel import absorb_digest, draw_field_element
+from stark_tpu.config import ProverConfig
+from stark_tpu.fields.fp import Fp
+from stark_tpu.fri.commit import _inv_domain
+from stark_tpu.hash.sha256_jax import sha256_pairs, sha256_u64_leaves
+from stark_tpu.merkle.tree import MerkleTree
+from stark_tpu.ntt.ntt import get_plan
+from stark_tpu.stark.prover import StarkProof, get_air_context
+from stark_tpu.stark.trace import _trace_poly_jit
+
+_U32 = jnp.uint32
+
+
+# -- batched building blocks (leading batch axis B) --------------------------
+def _batched_levels(values):
+    """Merkle levels over axis -1: values (B, n) -> [(B, n, 8), ...]."""
+    level = sha256_u64_leaves(jnp.zeros_like(values), values)  # (B, n, 8)
+    levels = [level]
+    while level.shape[1] > 1:
+        level = sha256_pairs(level[:, 0::2], level[:, 1::2])
+        levels.append(level)
+    return levels
+
+
+def _batched_fold(f: Fp, evals, beta, inv_dom):
+    """FRI fold over axis -1: evals (B, m), beta (B,), inv_dom (m/2,)."""
+    m = evals.shape[-1]
+    v = evals[:, : m // 2]
+    s = evals[:, m // 2 :]
+    inv2 = _U32(pow(2, f.p - 2, f.p))
+    odd = f.mul(f.mul(f.sub(v, s), inv_dom[None, :]), beta[:, None])
+    return f.mul(f.add(f.add(v, s), odd), inv2)
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
+    """One jitted program: traces (B, T) -> all commit-phase artifacts."""
+    from stark_tpu.stark.air import REGISTRY
+
+    p = cfg.modulus
+    f = Fp.get(p)
+    N = cfg.trace_domain_size
+    M = cfg.eval_domain_size
+    h = cfg.offset
+    trace_poly = _trace_poly_jit(p, N)
+    plan_f = get_plan(p, M, False)
+    air_name, air_param = air_key
+    air = (REGISTRY[air_name]() if air_param is None
+           else REGISTRY[air_name](k=air_param))
+    num_folds = air.num_folds(cfg)
+    ctx = get_air_context(air, cfg)
+    off_pows = f.jit_powers(h, N)
+
+    def run(traces, publics_dev):
+        # trace polynomial + LDE, batched
+        coeffs = jax.vmap(trace_poly)(traces)              # (B, N)
+        shifted = f.mul(coeffs, off_pows[None, :])
+        padded = jnp.zeros((batch, M), _U32).at[:, :N].set(shifted)
+        f_evals = plan_f(padded)                           # batched stages
+
+        # trace Merkle + FS absorb + alpha draws, batched over proofs
+        t_levels = _batched_levels(f_evals)
+        roots = [t_levels[-1][:, 0]]                       # (B, 8)
+        state = jax.vmap(lambda d: absorb_digest(None, d))(roots[0])
+        alphas = []
+        for _ in range(air.num_alphas):
+            a, state = jax.vmap(
+                lambda s: draw_field_element(s, p)
+            )(state)
+            alphas.append(a)
+        draws = list(alphas)
+
+        # composition (vmap the per-proof composer)
+        al_arr = jnp.stack(alphas, axis=1)                 # (B, k)
+        cp = jax.vmap(ctx._compose)(f_evals, al_arr, publics_dev[:, 0],
+                                    publics_dev[:, 1])
+
+        # FRI commit chain, batched
+        layers = [cp]
+        f_levels_all = [_batched_levels(cp)]
+        roots.append(f_levels_all[0][-1][:, 0])
+        state = jax.vmap(absorb_digest)(state, roots[-1])
+        evals = cp
+        size, off = M, h
+        for _ in range(num_folds):
+            beta, state = jax.vmap(lambda s: draw_field_element(s, p))(state)
+            draws.append(beta)
+            evals = _batched_fold(f, evals, beta, _inv_domain(p, size, off))
+            size //= 2
+            off = off * off % p
+            layers.append(evals)
+            lv = _batched_levels(evals)
+            f_levels_all.append(lv)
+            roots.append(lv[-1][:, 0])
+            state = jax.vmap(absorb_digest)(state, roots[-1])
+
+        return f_evals, t_levels, layers, f_levels_all, roots, draws
+
+    return jax.jit(run)
+
+
+def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
+    """Prove B same-config statements with batched device phases.
+
+    `airs`: list of AIR instances of the SAME family/parameters (only the
+    per-statement secrets differ).  Returns proofs byte-identical to
+    sequential `prove()` calls."""
+    if not airs:
+        return []
+    air0 = airs[0]
+    air0.validate(cfg)
+    if any(a.name != air0.name or getattr(a, "k", None) != getattr(air0, "k", None)
+           for a in airs):
+        raise ValueError("prove_batch needs AIRs of one family/parameterization")
+    B = len(airs)
+    p = cfg.modulus
+    M = cfg.eval_domain_size
+    b = cfg.blowup
+    offsets = [s * b for s in air0.shifts]
+    max_off = max(offsets)
+
+    traces = jnp.stack([a.build_trace(cfg) for a in airs])
+    publics = [a.publics(tr) for a, tr in zip(airs, traces)]
+    publics_dev = jnp.asarray(
+        [[list(pb.values())[0] % p, list(pb.values())[1] % p] for pb in publics],
+        dtype=_U32,
+    )
+
+    air_key = (air0.name, getattr(air0, "k", None))
+    f_evals, t_levels, layers, f_levels_all, roots, draws = _batch_commit_jit(
+        air_key, cfg, B
+    )(traces, publics_dev)
+
+    # fetch the tiny commit artifacts for ALL proofs in one transfer
+    roots_h, draws_h, finals_h = jax.device_get(
+        (roots, draws, layers[-1])
+    )
+
+    proofs = []
+    num_folds = air0.num_folds(cfg)
+    for i in range(B):
+        ch = Channel(p)
+        ch.mark_phase("trace-commit")
+        ch.send(np.asarray(roots_h[0][i]).astype(">u4").tobytes().hex().encode())
+        for k in range(air0.num_alphas):
+            el = ch.receive_random_field_element()
+            assert el.value == int(draws_h[k][i]), "batched FS diverged"
+        ch.mark_phase("fri-commit")
+        ch.send(np.asarray(roots_h[1][i]).astype(">u4").tobytes().hex().encode())
+        for k in range(num_folds):
+            el = ch.receive_random_field_element()
+            assert el.value == int(draws_h[air0.num_alphas + k][i])
+            ch.send(
+                np.asarray(roots_h[2 + k][i]).astype(">u4").tobytes().hex().encode()
+            )
+        final_value = int(finals_h[i][0])
+        ch.send(final_value.to_bytes(8, "big"))
+
+        # per-proof query phase via the standard (unbatched) machinery:
+        # wrap this proof's slices as MerkleTrees over views
+        trace_tree = MerkleTree(
+            None, device_levels=tuple(lv[i] for lv in t_levels)
+        )
+        fri_trees = [
+            MerkleTree(None, device_levels=tuple(lv[i] for lv in levels))
+            for levels in f_levels_all
+        ]
+        fri_layers = [layer[i] for layer in layers]
+        from stark_tpu.fri.commit import (
+            collect_query_arrays,
+            emit_plan,
+            plan_fri_query,
+        )
+        from stark_tpu.utils.gather import BatchGather
+
+        ch.mark_phase("queries")
+        arrays, slots = collect_query_arrays(
+            fri_layers, fri_trees,
+            extra_arrays=(f_evals[i], *[lv[i] for lv in t_levels[:-1]]),
+        )
+        for _ in range(cfg.num_queries):
+            idx = ch.receive_random_int(0, M - max_off - 1, True)
+            bg = BatchGather(arrays)
+            plan = []
+            for off in offsets:
+                plan.append(("v", bg.want(slots[id(arrays[0])], idx + off)))
+                plan.append(
+                    ("p", [bg.want(slots[id(arrays[1 + li])], row)
+                           for li, row in trace_tree.path_rows(idx + off)])
+                )
+            plan += plan_fri_query(bg, slots, idx, fri_layers, fri_trees)
+            bg.run()
+            emit_plan(plan, bg, ch)
+
+        pub_vals = list(publics[i].values())
+        extra = {k: v for k, v in publics[i].items()
+                 if k not in ("a0", "a_last", "input", "output")}
+        proofs.append(
+            StarkProof(
+                proof=[bytes(m) for m in ch.proof],
+                a0=pub_vals[0],
+                a_last=pub_vals[1],
+                config=cfg,
+                air_name=air0.name,
+                extra_publics=extra or None,
+            )
+        )
+    return proofs

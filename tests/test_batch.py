@@ -1,0 +1,43 @@
+"""Batched proving tests: transcripts must equal sequential prove() calls
+byte-for-byte (batching is pure throughput, zero semantic drift)."""
+
+import pytest
+
+from stark_tpu.config import ProverConfig
+from stark_tpu.stark import FibonacciSquareAIR, MimcAIR, prove, verify
+from stark_tpu.stark.batch import prove_batch
+
+CFG = ProverConfig(log2_trace=6, blowup=4, num_queries=3)
+
+
+def test_fib_batch_matches_sequential():
+    secrets = [3141592, 2718281, 1414213]
+    batch = prove_batch(CFG, [FibonacciSquareAIR(a1=s) for s in secrets])
+    assert len(batch) == 3
+    for s, pr in zip(secrets, batch):
+        solo = prove(CFG, a1=s)
+        assert pr.proof == solo.proof
+        assert verify(pr)
+
+
+def test_mimc_batch_matches_sequential():
+    xs = [11, 22]
+    batch = prove_batch(CFG, [MimcAIR(x0=x, k=9) for x in xs])
+    for x, pr in zip(xs, batch):
+        solo = prove(CFG, air=MimcAIR(x0=x, k=9))
+        assert pr.proof == solo.proof
+        assert verify(pr)
+
+
+def test_empty_batch():
+    assert prove_batch(CFG, []) == []
+
+
+def test_mixed_families_rejected():
+    with pytest.raises(ValueError):
+        prove_batch(CFG, [FibonacciSquareAIR(), MimcAIR()])
+
+
+def test_mixed_mimc_keys_rejected():
+    with pytest.raises(ValueError):
+        prove_batch(CFG, [MimcAIR(k=1), MimcAIR(k=2)])
