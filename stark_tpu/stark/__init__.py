@@ -4,11 +4,12 @@ from stark_tpu.stark.prover import StarkProof, prove
 from stark_tpu.stark.verifier import StarkVerificationError, verify
 from stark_tpu.stark.air import AIR, FibonacciSquareAIR, MimcAIR, air_from_name
 from stark_tpu.stark.checkpoint import ProverCheckpoint, prove_resumable
+from stark_tpu.stark.batch import prove_batch
 
 __all__ = [
     "fibonacci_square_trace", "trace_polynomial",
     "CompositionContext", "get_context",
     "StarkProof", "prove", "verify", "StarkVerificationError",
     "AIR", "FibonacciSquareAIR", "MimcAIR", "air_from_name",
-    "ProverCheckpoint", "prove_resumable",
+    "ProverCheckpoint", "prove_resumable", "prove_batch",
 ]

@@ -75,6 +75,14 @@ def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
     num_folds = air.num_folds(cfg)
     ctx = get_air_context(air, cfg)
     off_pows = f.jit_powers(h, N)
+    # precompute per-layer inverse domains OUTSIDE the trace (the lru-cached
+    # helper must never cache a tracer)
+    inv_doms = []
+    size, off = M, h
+    for _ in range(num_folds):
+        inv_doms.append(_inv_domain(p, size, off))
+        size //= 2
+        off = off * off % p
 
     def run(traces, publics_dev):
         # trace polynomial + LDE, batched
@@ -106,13 +114,10 @@ def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
         roots.append(f_levels_all[0][-1][:, 0])
         state = jax.vmap(absorb_digest)(state, roots[-1])
         evals = cp
-        size, off = M, h
-        for _ in range(num_folds):
+        for k in range(num_folds):
             beta, state = jax.vmap(lambda s: draw_field_element(s, p))(state)
             draws.append(beta)
-            evals = _batched_fold(f, evals, beta, _inv_domain(p, size, off))
-            size //= 2
-            off = off * off % p
+            evals = _batched_fold(f, evals, beta, inv_doms[k])
             layers.append(evals)
             lv = _batched_levels(evals)
             f_levels_all.append(lv)
