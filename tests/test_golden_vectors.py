@@ -1,0 +1,50 @@
+"""Golden transcript vectors (SURVEY §7.1.3): frozen serialized proofs in
+tests/vectors/.  Any change to transcript bytes — field encoding, channel
+hashing, Merkle shape, FRI framing, query order — fails here, separating
+deliberate protocol changes from accidental drift."""
+
+import json
+import os
+
+import pytest
+
+from stark_tpu.config import ProverConfig, TEST_MODULUS
+from stark_tpu.stark import MimcAIR, StarkProof, prove, verify
+
+VEC = os.path.join(os.path.dirname(__file__), "vectors", "golden_proofs.json")
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    with open(VEC) as fh:
+        return json.load(fh)
+
+
+@pytest.mark.parametrize("name", ["fib_gf97_2e2", "fib_stark101_2e6", "mimc3_2e5"])
+def test_stored_proofs_verify(vectors, name):
+    pr = StarkProof.deserialize(json.dumps(vectors[name]).encode())
+    assert verify(pr)
+
+
+def test_regenerated_tiny_fib_is_byte_identical(vectors):
+    cfg = ProverConfig(modulus=TEST_MODULUS, generator=5, log2_trace=2,
+                       blowup=4, num_queries=2)
+    pr = prove(cfg, a1=3)
+    stored = StarkProof.deserialize(json.dumps(vectors["fib_gf97_2e2"]).encode())
+    assert pr.proof == stored.proof
+
+
+def test_regenerated_stark101_is_byte_identical(vectors):
+    cfg = ProverConfig(log2_trace=6, blowup=8, num_queries=4)
+    pr = prove(cfg, a1=3141592)
+    stored = StarkProof.deserialize(
+        json.dumps(vectors["fib_stark101_2e6"]).encode()
+    )
+    assert pr.proof == stored.proof
+
+
+def test_regenerated_mimc_is_byte_identical(vectors):
+    cfg = ProverConfig(log2_trace=5, blowup=4, num_queries=3)
+    pr = prove(cfg, air=MimcAIR(x0=271828, k=777))
+    stored = StarkProof.deserialize(json.dumps(vectors["mimc3_2e5"]).encode())
+    assert pr.proof == stored.proof
