@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from stark_tpu.dist.mesh import SHARD_AXIS
 from stark_tpu.fields.fp import Fp
-from stark_tpu.ntt.ntt import get_plan
+from stark_tpu.ntt.ntt import get_stockham_plan
 from stark_tpu.ntt.reference_ntt import ntt_available, root_of_unity
 
 _U32 = jnp.uint32
@@ -140,7 +140,7 @@ class _SubPlan:
         self._twiddles = _stage_twiddles(p, n, root)
         self.n = n
         # reuse NTTPlan's stage loop via a tiny shim
-        self._shim = get_plan(p, n, False)
+        self._shim = get_stockham_plan(p, n, False)
 
     def stages(self, xm):
         return self._shim._stages(xm, self._twiddles)

@@ -1,0 +1,124 @@
+"""Pure-XLA four-step NTT — layout-optimal large transforms.
+
+The 1-D Stockham plan's early stages interleave at granularity m = 1, 2,
+4... — strided writes far below the TPU's (8, 128) tile, leaving the
+kernel at ~30% of HBM bandwidth.  The four-step decomposition
+n = n1 * n2 runs every butterfly stage along axis 0 of an (L, C) matrix
+with C >= sqrt(n) lanes, so every read/write is wide and tile-aligned:
+
+    A = x.reshape(n1, n2)
+    B = NTT_n1 along axis 0          (lanes = n2 columns)
+    C = B * T,  T[k1, j2] = w^(j2*k1)
+    D = NTT_n2 along axis 0 of C^T   (one XLA transpose; lanes = n1)
+    X = D^T flattened == natural order (derivation in dist/ntt.py)
+
+Same twiddle conventions as the Pallas kernel (pallas_ntt) and the
+distributed plan; bit-identical output to the 1-D plan.  Used as the
+default plan for large n (ntt.get_plan dispatches here).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from stark_tpu.fields.fp import Fp
+from stark_tpu.ntt.reference_ntt import ntt_available, root_of_unity
+
+_U32 = jnp.uint32
+
+# below this size the 1-D plan wins (fewer reshapes, no transpose)
+FOURSTEP_MIN = 1 << 14
+
+
+def stages_axis0(fp: Fp, xm, twiddles, length: int):
+    """All Stockham butterfly stages along axis -2 of (..., length, C),
+    Montgomery domain.  `twiddles`: per-stage mont arrays [(lh,), ...]."""
+    batch = xm.shape[:-2]
+    c = xm.shape[-1]
+    l, m = length, 1
+    for t in twiddles:
+        lh = l // 2
+        v = xm.reshape(batch + (l, m, c))
+        a, b = v[..., :lh, :, :], v[..., lh:, :, :]
+        top = fp.add(a, b)
+        bot = fp.mont_mul(t[:, None, None], fp.sub(a, b))
+        xm = jnp.stack([top, bot], axis=-3).reshape(batch + (lh * 2 * m, c))
+        l, m = lh, 2 * m
+    return xm
+
+
+@functools.lru_cache(maxsize=None)
+def get_fourstep_plan(p: int, n: int, inverse: bool = False) -> "FourStepPlan":
+    return FourStepPlan(p, n, inverse)
+
+
+class FourStepPlan:
+    """Drop-in for NTTPlan at large n (same input/output contract)."""
+
+    def __init__(self, p: int, n: int, inverse: bool):
+        if n & (n - 1) or n < 4:
+            raise ValueError(f"four-step needs a power-of-two n >= 4, got {n}")
+        if not ntt_available(p, n):
+            raise ValueError(f"GF({p}) has no order-{n} subgroup")
+        from stark_tpu.ntt.ntt import _stage_twiddles
+
+        log_n = n.bit_length() - 1
+        log_n1 = (log_n + 1) // 2
+        self.n1 = 1 << log_n1
+        self.n2 = n >> log_n1
+        self.p = p
+        self.n = n
+        self.inverse = inverse
+        self.fp = f = Fp.get(p)
+        w = root_of_unity(p, n)
+        if inverse:
+            w = pow(w, p - 2, p)
+        self._tws1 = _stage_twiddles(p, self.n1, pow(w, self.n2, p))
+        self._tws2 = _stage_twiddles(p, self.n2, pow(w, self.n1, p))
+        self._table = _twiddle_table(p, self.n1, self.n2, w)
+        self._ninv_mont = _U32(pow(n, p - 2, p) * f.r % p)
+        self._jit = jax.jit(self._transform)
+
+    def _core(self, xm, table, tws1, tws2):
+        """Montgomery-domain four-step on (..., n)."""
+        f = self.fp
+        batch = xm.shape[:-1]
+        a = xm.reshape(batch + (self.n1, self.n2))
+        b = stages_axis0(f, a, tws1, self.n1)
+        c = f.mont_mul(b, table)
+        ct = jnp.swapaxes(c, -1, -2)
+        d_t = stages_axis0(f, ct, tws2, self.n2)
+        return d_t.reshape(batch + (self.n,))
+
+    def _transform(self, x, table, tws1, tws2):
+        f = self.fp
+        xm = f.to_mont(x)
+        xm = self._core(xm, table, tws1, tws2)
+        if self.inverse:
+            xm = f.mont_mul(xm, self._ninv_mont)
+        return f.from_mont(xm)
+
+    def __call__(self, x) -> jax.Array:
+        return self._jit(x, self._table, self._tws1, self._tws2)
+
+    def mont_stages(self, xm):
+        """Montgomery-domain entry (fuses into larger pipelines)."""
+        out = self._core(xm, self._table, self._tws1, self._tws2)
+        if self.inverse:
+            out = self.fp.mont_mul(out, self._ninv_mont)
+        return out
+
+
+@functools.lru_cache(maxsize=None)
+def _twiddle_table(p: int, n1: int, n2: int, w: int):
+    """T[k1, j2] = w^(j2*k1), Montgomery form, one jit call."""
+    f = Fp.get(p)
+
+    def build():
+        ratios = f.powers(w, n1)
+        return f.to_mont(f.geometric_table(ratios, n2))
+
+    return jax.jit(build)()

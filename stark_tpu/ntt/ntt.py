@@ -33,8 +33,36 @@ _U32 = jnp.uint32
 
 
 @functools.lru_cache(maxsize=None)
-def get_plan(p: int, n: int, inverse: bool = False) -> "NTTPlan":
+def get_plan(p: int, n: int, inverse: bool = False):
+    """Best single-device plan for the size: the 1-D Stockham plan for
+    small n, the layout-optimal four-step (ntt.fourstep) for large n —
+    bit-identical outputs either way."""
+    from stark_tpu.ntt.fourstep import FOURSTEP_MIN, get_fourstep_plan
+
+    if n >= FOURSTEP_MIN:
+        return get_fourstep_plan(p, n, inverse)
     return NTTPlan(p, n, inverse)
+
+
+@functools.lru_cache(maxsize=None)
+def get_stockham_plan(p: int, n: int, inverse: bool = False) -> "NTTPlan":
+    return NTTPlan(p, n, inverse)
+
+
+def stockham_stages(fp: Fp, n: int, xm, twiddles):
+    """All butterfly stages along the LAST axis; leading axes batch.
+    Montgomery domain in/out, natural order (Stockham autosort)."""
+    batch = xm.shape[:-1]
+    l, m = n, 1
+    for t in twiddles:
+        lh = l // 2
+        v = xm.reshape(batch + (l, m))
+        a, b = v[..., :lh, :], v[..., lh:, :]
+        top = fp.add(a, b)
+        bot = fp.mont_mul(t[:, None], fp.sub(a, b))
+        xm = jnp.stack([top, bot], axis=-2).reshape(batch + (n,))
+        l, m = lh, 2 * m
+    return xm
 
 
 @functools.lru_cache(maxsize=None)
