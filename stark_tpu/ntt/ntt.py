@@ -112,23 +112,7 @@ class NTTPlan:
 
     # -- core -------------------------------------------------------------
     def _stages(self, xm, twiddles):
-        """All butterfly stages; input/output in Montgomery domain,
-        natural order in and out (Stockham autosort).  Operates along the
-        LAST axis; leading axes are batch (vectorized row NTTs, used by
-        the four-step distributed transform)."""
-        f = self.fp
-        n = self.n
-        batch = xm.shape[:-1]
-        l, m = n, 1
-        for t in twiddles:
-            lh = l // 2
-            v = xm.reshape(batch + (l, m))
-            a, b = v[..., :lh, :], v[..., lh:, :]
-            top = f.add(a, b)
-            bot = f.mont_mul(t[:, None], f.sub(a, b))
-            xm = jnp.stack([top, bot], axis=-2).reshape(batch + (n,))
-            l, m = lh, m * 2
-        return xm
+        return stockham_stages(self.fp, self.n, xm, twiddles)
 
     def _transform(self, x, twiddles):
         f = self.fp

@@ -19,13 +19,7 @@ from stark_tpu.stark.air import _FibContext
 
 
 class CompositionContext(_FibContext):
-    """Fibonacci-square composition context (back-compat alias).
-
-    Adds the historical positional-compose signature used by
-    stark_tpu.stark.pipeline."""
-
-    def compose_raw(self, lde, alphas_arr, a0, a_last):
-        return self._jit(lde, alphas_arr, a0, a_last)
+    """Fibonacci-square composition context (back-compat alias)."""
 
 
 @functools.lru_cache(maxsize=None)

@@ -15,9 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_I32 = jnp.int32
-
-
 @jax.jit
 def _gather(arrays, idx_lists):
     parts = []

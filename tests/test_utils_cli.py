@@ -152,3 +152,40 @@ class TestMultihostGlue:
         pr = multihost_prove(cfg, backend="cpu")
         assert pr.proof == prove(cfg).proof
         assert verify(pr)
+
+
+class TestDebugChecks:
+    def test_assert_canonical(self):
+        import numpy as np
+
+        from stark_tpu.utils.debug import assert_canonical
+
+        assert_canonical(np.array([0, 1, 96], dtype=np.uint32), 97)
+        with pytest.raises(AssertionError, match="non-canonical"):
+            assert_canonical(np.array([0, 97], dtype=np.uint32), 97)
+
+    def test_maybe_assert_respects_env(self, monkeypatch):
+        import numpy as np
+
+        from stark_tpu.utils.debug import maybe_assert_canonical
+
+        bad = np.array([99], dtype=np.uint32)
+        monkeypatch.delenv("STARK_TPU_DEBUG", raising=False)
+        maybe_assert_canonical(bad, 97)  # no-op
+        monkeypatch.setenv("STARK_TPU_DEBUG", "1")
+        with pytest.raises(AssertionError):
+            maybe_assert_canonical(bad, 97)
+
+    def test_check_canonical_in_jit(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import checkify
+
+        from stark_tpu.utils.debug import check_canonical
+
+        fn = checkify.checkify(lambda v: check_canonical(v, 97))
+        err, _ = jax.jit(fn)(jnp.asarray([1, 2, 3], dtype=jnp.uint32))
+        err.throw()  # clean
+        err, _ = jax.jit(fn)(jnp.asarray([1, 200], dtype=jnp.uint32))
+        with pytest.raises(Exception, match="non-canonical"):
+            err.throw()
