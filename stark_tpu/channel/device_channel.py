@@ -147,10 +147,11 @@ class DeviceFS:
     challenge equals the host derivation.
     """
 
-    def __init__(self, p: int, state_hex: str = ""):
+    def __init__(self, p: int, state_hex: str = "", mesh=None):
         import numpy as np
 
         self.p = p
+        self._mesh = mesh
         if state_hex:
             self.state = jnp.asarray(
                 np.frombuffer(bytes.fromhex(state_hex), dtype=">u4").astype(
@@ -182,8 +183,16 @@ class DeviceFS:
         construction state); returns the fetched `extras` arrays."""
         import numpy as np
 
-        fetched = jax.device_get([payload for _, payload in self.log]
-                                 + list(extras))
+        payloads = [payload for _, payload in self.log] + list(extras)
+        if self._mesh is not None:
+            # multi-process: payloads may span non-addressable devices;
+            # replicate the (tiny) values so every host can fetch them
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = jax.jit(lambda v: v,
+                          out_shardings=NamedSharding(self._mesh, P()))
+            payloads = [rep(pl) for pl in payloads]
+        fetched = jax.device_get(payloads)
         ex = fetched[len(self.log):]
         for (kind, _), host_val in zip(self.log, fetched):
             if kind == "root":

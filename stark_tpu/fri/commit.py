@@ -123,7 +123,7 @@ def fri_commit(
     # The whole commit->challenge->fold chain runs with a device-resident
     # Fiat-Shamir state: no host sync per layer (each costs a full round
     # trip); the canonical host transcript is replayed from ONE fetch.
-    fs = DeviceFS(p, channel.state)
+    fs = DeviceFS(p, channel.state, mesh=mesh)
     fs.absorb_root(trees[0].levels[-1][0])
 
     size, off = n, offset

@@ -160,7 +160,7 @@ def prove(
     # batched fetch instead of a sync per interaction)
     from stark_tpu.channel.device_channel import DeviceFS
 
-    fs = DeviceFS(p, channel.state)
+    fs = DeviceFS(p, channel.state, mesh=mesh)
     fs.absorb_root(trace_tree.levels[-1][0])
     alphas = tuple(fs.draw() for _ in range(air.num_alphas))
     fs.finalize(channel)
@@ -189,7 +189,7 @@ def prove(
     )
     for _ in range(cfg.num_queries):
         idx = channel.receive_random_int(0, M - max_off - 1, True)
-        bg = BatchGather(arrays)
+        bg = BatchGather(arrays, mesh=mesh)
         plan = []
         for off in offsets:
             plan.append(("v", bg.want(slots[id(f_evals)], idx + off)))

@@ -15,12 +15,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-@jax.jit
-def _gather(arrays, idx_lists):
+def _gather_impl(arrays, idx_lists):
     parts = []
     for arr, idxs in zip(arrays, idx_lists):
         parts.append(jnp.take(arr, idxs, axis=0).reshape(-1))
     return jnp.concatenate(parts)
+
+
+_gather = jax.jit(_gather_impl)
+_replicated_gathers: dict = {}
+
+
+def _gather_for_mesh(mesh):
+    """Gather whose (tiny) output is replicated over `mesh` — required in
+    multi-process runs, where fetching a shard of a non-addressable
+    global array is impossible; replication makes every host able to
+    np.asarray the result."""
+    fn = _replicated_gathers.get(id(mesh))
+    if fn is None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fn = jax.jit(
+            _gather_impl, out_shardings=NamedSharding(mesh, P())
+        )
+        _replicated_gathers[id(mesh)] = fn
+    return fn
 
 
 class BatchGather:
@@ -37,8 +56,9 @@ class BatchGather:
         digest = bg.digest(h2)        # for (n, 8) digest levels: 32 bytes
     """
 
-    def __init__(self, arrays: tuple):
+    def __init__(self, arrays: tuple, mesh=None):
         self.arrays = tuple(arrays)
+        self._mesh = mesh
         self._reqs: list[list[int]] = [[] for _ in self.arrays]
         self._handles: list[tuple[int, int]] = []
         self._result: np.ndarray | None = None
@@ -54,7 +74,8 @@ class BatchGather:
         idx_lists = tuple(
             jnp.asarray(np.asarray(r, dtype=np.int32)) for r in self._reqs
         )
-        out = _gather(self.arrays, idx_lists)
+        fn = _gather if self._mesh is None else _gather_for_mesh(self._mesh)
+        out = fn(self.arrays, idx_lists)
         self._result = np.asarray(out)  # the ONE transfer
         offs, acc = [], 0
         for arr, reqs in zip(self.arrays, self._reqs):

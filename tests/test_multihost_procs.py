@@ -85,3 +85,75 @@ def test_two_process_distributed_ntt_and_merkle():
     for rank, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"rank {rank} failed:\n{err[-3000:]}"
         assert f"RANK{rank}-OK" in out
+
+
+_PROVE_WORKER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.distributed.initialize(
+    coordinator_address="localhost:{port}", num_processes=2,
+    process_id={rank},
+)
+import hashlib
+from stark_tpu.config import ProverConfig
+from stark_tpu.dist import make_mesh
+from stark_tpu.stark import prove, verify
+
+mesh = make_mesh(devices=jax.devices())
+cfg = ProverConfig(log2_trace=6, blowup=4, num_queries=2)
+pr = prove(cfg, mesh=mesh)
+digest = hashlib.sha256(b"".join(pr.proof)).hexdigest()
+print("DIGEST", digest, flush=True)
+assert verify(pr)
+print("RANK{rank}-OK", flush=True)
+"""
+
+
+def test_two_process_full_sharded_prove():
+    """BASELINE config #5's software story: a full STARK prove sharded
+    over two processes' devices (2-'host' mesh); both ranks must produce
+    the identical transcript, equal to the single-process proof."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "TPU_WORKER_HOSTNAMES",
+                     "XLA_FLAGS", "PJRT_LIBRARY_PATH")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", "-c",
+             _PROVE_WORKER.format(repo=REPO, port=port, rank=rank)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for rank in (0, 1)
+    ]
+    outs = []
+    try:
+        for pr in procs:
+            out, err = pr.communicate(timeout=600)
+            outs.append((pr.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for pr in procs:
+            pr.kill()
+        pytest.fail("distributed prove workers timed out")
+    digests = []
+    for rank, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        assert f"RANK{rank}-OK" in out
+        digests.append([l for l in out.splitlines() if l.startswith("DIGEST")][0])
+    assert digests[0] == digests[1], "transcripts diverged across hosts"
+
+    # equal to the single-process proof
+    import hashlib
+
+    from stark_tpu.config import ProverConfig
+    from stark_tpu.stark import prove
+
+    solo = prove(ProverConfig(log2_trace=6, blowup=4, num_queries=2))
+    solo_digest = "DIGEST " + hashlib.sha256(b"".join(solo.proof)).hexdigest()
+    assert digests[0] == solo_digest
