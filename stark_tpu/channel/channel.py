@@ -20,9 +20,10 @@ interactions (SURVEY §3.3).  Semantics replicated exactly, quirks included:
   ``U256::from_str_radix("")``, channel.rs:64-65 — we raise ChannelError).
 
 On top of the replica, the transcript doubles as a serializable,
-phase-tagged, append-only log (SURVEY §5.4): `fork()`/`replay()` give
-checkpoint/resume, and the verifier walks it with a cursor — fixing the
-reference's ``proof.last()`` replay bug (fri_verify.rs:45,56,97,106).
+phase-tagged, append-only log (SURVEY §5.4): serialize/deserialize plus
+the resumable prover (stark.checkpoint) give checkpoint/resume, and the
+verifier walks it with a cursor — fixing the reference's
+``proof.last()`` replay bug (fri_verify.rs:45,56,97,106).
 """
 
 from __future__ import annotations
