@@ -88,13 +88,13 @@ class Fp:
         return _U32(value % self.p)
 
     def array(self, values) -> jax.Array:
-        """Canonical uint32 array from a list/np array of ints (host)."""
+        """Canonical uint32 device array from host ints (any magnitude)."""
         import numpy as np
 
-        arr = np.asarray(values, dtype=object)
-        arr = np.vectorize(lambda x: int(x) % self.p, otypes=[np.uint32])(arr) \
-            if arr.dtype == object else arr
-        return jnp.asarray(np.asarray(arr, dtype=np.uint32))
+        reduced = [int(v) % self.p for v in np.asarray(values, dtype=object).reshape(-1)]
+        return jnp.asarray(
+            np.asarray(reduced, dtype=np.uint32).reshape(np.shape(values))
+        )
 
     # -- canonical-domain ops --------------------------------------------
     def add(self, a, b):
