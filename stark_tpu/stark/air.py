@@ -152,27 +152,36 @@ class _FibContext(_BaseContext):
         self.trans_mult = self.zerofier_inv_excluding(
             (pow(g, N - 3, p), pow(g, N - 2, p), pow(g, N - 1, p))
         )
-        self._jit = jax.jit(self._compose)
+        # tables are jit ARGUMENTS, never closure captures — captured
+        # device arrays are inlined into the HLO as literals, and at
+        # 2^25-point domains that is hundreds of MB of serialized program
+        self._jit = jax.jit(self._compose_tables)
 
-    def _compose(self, lde, alphas, a0, a_last):
+    def _compose_tables(self, lde, alphas, a0, a_last, inv_b0, inv_b1,
+                        trans_mult):
         f = self.fp
         b = self.cfg.blowup
         f_x = lde
         f_gx = jnp.roll(lde, -b)
         f_g2x = jnp.roll(lde, -2 * b)
-        p0 = f.mul(f.sub(f_x, a0), self.inv_b0)
-        p1 = f.mul(f.sub(f_x, a_last), self.inv_b1)
+        p0 = f.mul(f.sub(f_x, a0), inv_b0)
+        p1 = f.mul(f.sub(f_x, a_last), inv_b1)
         num = f.sub(f.sub(f_g2x, f.mul(f_gx, f_gx)), f.mul(f_x, f_x))
-        p2 = f.mul(num, self.trans_mult)
+        p2 = f.mul(num, trans_mult)
         return f.add(
             f.add(f.mul(alphas[0], p0), f.mul(alphas[1], p1)),
             f.mul(alphas[2], p2),
         )
 
+    def _compose(self, lde, alphas, a0, a_last):
+        return self._compose_tables(lde, alphas, a0, a_last, self.inv_b0,
+                                    self.inv_b1, self.trans_mult)
+
     def compose(self, lde, alphas, publics: dict):
         return self._jit(lde, _alphas_arr(alphas, self.fp.p),
                          _U32(publics["a0"] % self.fp.p),
-                         _U32(publics["a_last"] % self.fp.p))
+                         _U32(publics["a_last"] % self.fp.p),
+                         self.inv_b0, self.inv_b1, self.trans_mult)
 
     def cp_at(self, x: int, opened: list[int], alphas, publics: dict) -> int:
         p = self.fp.p
@@ -259,28 +268,34 @@ class _MimcContext(_BaseContext):
         self.trans_mult = self.zerofier_inv_excluding(
             (pow(g, N - 2, p), pow(g, N - 1, p))
         )
-        self._jit = jax.jit(self._compose)
+        self._jit = jax.jit(self._compose_tables)
 
-    def _compose(self, lde, alphas, x0, x_out):
+    def _compose_tables(self, lde, alphas, x0, x_out, inv_b0, inv_b1,
+                        trans_mult):
         f = self.fp
         b = self.cfg.blowup
         f_x = lde
         f_gx = jnp.roll(lde, -b)
-        p0 = f.mul(f.sub(f_x, x0), self.inv_b0)
-        p1 = f.mul(f.sub(f_x, x_out), self.inv_b1)
+        p0 = f.mul(f.sub(f_x, x0), inv_b0)
+        p1 = f.mul(f.sub(f_x, x_out), inv_b1)
         t = f.add(f_x, _U32(self.k % f.p))
         cube = f.mul(f.mul(t, t), t)
         num = f.sub(f_gx, cube)
-        p2 = f.mul(num, self.trans_mult)
+        p2 = f.mul(num, trans_mult)
         return f.add(
             f.add(f.mul(alphas[0], p0), f.mul(alphas[1], p1)),
             f.mul(alphas[2], p2),
         )
 
+    def _compose(self, lde, alphas, x0, x_out):
+        return self._compose_tables(lde, alphas, x0, x_out, self.inv_b0,
+                                    self.inv_b1, self.trans_mult)
+
     def compose(self, lde, alphas, publics: dict):
         return self._jit(lde, _alphas_arr(alphas, self.fp.p),
                          _U32(publics["input"] % self.fp.p),
-                         _U32(publics["output"] % self.fp.p))
+                         _U32(publics["output"] % self.fp.p),
+                         self.inv_b0, self.inv_b1, self.trans_mult)
 
     def cp_at(self, x: int, opened: list[int], alphas, publics: dict) -> int:
         p = self.fp.p
