@@ -146,19 +146,32 @@ def intt(x, p: int) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def _lde_jit(p: int, n: int, big_n: int, offset: int):
-    """coeff-domain pipeline: INTT_n -> scale by offset^i -> pad -> NTT_N."""
+def _scale_pad_jit(p: int, n: int, big_n: int, offset: int):
     f = Fp.get(p)
+
+    def run(coeffs):
+        shifted = f.mul(coeffs, f.powers(offset, n))
+        return jnp.zeros(coeffs.shape[:-1] + (big_n,), dtype=_U32).at[
+            ..., :n
+        ].set(shifted)
+
+    return jax.jit(run)
+
+
+def _lde_steps(p: int, n: int, big_n: int, offset: int):
+    """coeff-domain pipeline: INTT_n -> scale by offset^i -> pad -> NTT_N.
+
+    The plan calls stay SEPARATE jit invocations: nesting a plan inside an
+    outer jit inlines its twiddle-table arguments as HLO literals (256 MB
+    at 2^26 points — breaks compilation)."""
     plan_i = get_plan(p, n, True)
+    scale = _scale_pad_jit(p, n, big_n, offset)
     plan_f = get_plan(p, big_n, False)
 
     def run(values):
-        coeffs = plan_i(values)
-        shifted = f.mul(coeffs, f.powers(offset, n))
-        padded = jnp.zeros((big_n,), dtype=_U32).at[:n].set(shifted)
-        return plan_f(padded)
+        return plan_f(scale(plan_i(values)))
 
-    return jax.jit(run)
+    return run
 
 
 def lde(values, p: int, blowup: int, offset: int) -> jax.Array:
@@ -169,41 +182,25 @@ def lde(values, p: int, blowup: int, offset: int) -> jax.Array:
     primitive (blowup*n)-th root.
     """
     n = int(values.shape[-1])
-    return _lde_jit(p, n, blowup * n, int(offset) % p)(values)
-
-
-@functools.lru_cache(maxsize=None)
-def _coset_eval_jit(p: int, n: int, big_n: int, offset: int):
-    f = Fp.get(p)
-    plan_f = get_plan(p, big_n, False)
-
-    def run(coeffs):
-        shifted = f.mul(coeffs, f.powers(offset, n))
-        padded = jnp.zeros((big_n,), dtype=_U32).at[:n].set(shifted)
-        return plan_f(padded)
-
-    return jax.jit(run)
+    return _lde_steps(p, n, blowup * n, int(offset) % p)(values)
 
 
 def coset_evaluate(coeffs, p: int, big_n: int, offset: int) -> jax.Array:
     """Evaluate coefficient vector on {offset * W^i : i < big_n}."""
-    return _coset_eval_jit(p, int(coeffs.shape[-1]), big_n, int(offset) % p)(coeffs)
+    n = int(coeffs.shape[-1])
+    scale = _scale_pad_jit(p, n, big_n, int(offset) % p)
+    return get_plan(p, big_n, False)(scale(coeffs))
 
 
 @functools.lru_cache(maxsize=None)
-def _coset_interp_jit(p: int, n: int, offset: int):
+def _unscale_jit(p: int, n: int, offset: int):
     f = Fp.get(p)
-    plan_i = get_plan(p, n, True)
     offset_inv = pow(int(offset) % p, p - 2, p)
-
-    def run(evals):
-        coeffs = plan_i(evals)
-        return f.mul(coeffs, f.powers(offset_inv, n))
-
-    return jax.jit(run)
+    return jax.jit(lambda coeffs: f.mul(coeffs, f.powers(offset_inv, n)))
 
 
 def coset_interpolate(evals, p: int, offset: int) -> jax.Array:
     """Coefficients of the polynomial whose values on {offset * w^i} are
     `evals` (inverse of :func:`coset_evaluate` at big_n == n)."""
-    return _coset_interp_jit(p, int(evals.shape[-1]), int(offset) % p)(evals)
+    n = int(evals.shape[-1])
+    return _unscale_jit(p, n, int(offset) % p)(get_plan(p, n, True)(evals))
