@@ -15,30 +15,41 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-def _gather_impl(arrays, idx_lists):
+def _gather_impl(lengths, arrays, flat_idx):
+    """Slice the packed index vector per array (static offsets), take the
+    rows, flatten-concat.  Indices travel as ONE flat int32 upload — on
+    the tunneled TPU, uploading hundreds of tiny per-level index arrays
+    per query costs far more than the gather itself."""
     parts = []
-    for arr, idxs in zip(arrays, idx_lists):
+    off = 0
+    for arr, ln in zip(arrays, lengths):
+        idxs = jax.lax.slice_in_dim(flat_idx, off, off + ln)
         parts.append(jnp.take(arr, idxs, axis=0).reshape(-1))
+        off += ln
     return jnp.concatenate(parts)
 
 
-_gather = jax.jit(_gather_impl)
-_replicated_gathers: dict = {}
+_gather_fns: dict = {}
 
 
-def _gather_for_mesh(mesh):
-    """Gather whose (tiny) output is replicated over `mesh` — required in
-    multi-process runs, where fetching a shard of a non-addressable
-    global array is impossible; replication makes every host able to
-    np.asarray the result."""
-    fn = _replicated_gathers.get(id(mesh))
+def _gather_fn(lengths: tuple, mesh):
+    """Jitted packed gather, cached per (index-counts signature, mesh)."""
+    key = (lengths, id(mesh) if mesh is not None else None)
+    fn = _gather_fns.get(key)
     if fn is None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        import functools
 
-        fn = jax.jit(
-            _gather_impl, out_shardings=NamedSharding(mesh, P())
-        )
-        _replicated_gathers[id(mesh)] = fn
+        impl = functools.partial(_gather_impl, lengths)
+        if mesh is None:
+            fn = jax.jit(impl)
+        else:
+            # multi-process runs: replicate the (tiny) output so every
+            # host can fetch it (shards of global arrays are otherwise
+            # non-addressable)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            fn = jax.jit(impl, out_shardings=NamedSharding(mesh, P()))
+        _gather_fns[key] = fn
     return fn
 
 
@@ -71,11 +82,12 @@ class BatchGather:
         return len(self._handles) - 1
 
     def run(self) -> None:
-        idx_lists = tuple(
-            jnp.asarray(np.asarray(r, dtype=np.int32)) for r in self._reqs
-        )
-        fn = _gather if self._mesh is None else _gather_for_mesh(self._mesh)
-        out = fn(self.arrays, idx_lists)
+        lengths = tuple(len(r) for r in self._reqs)
+        flat = np.concatenate(
+            [np.asarray(r, dtype=np.int32) for r in self._reqs if r]
+        ) if any(self._reqs) else np.zeros(0, np.int32)
+        fn = _gather_fn(lengths, self._mesh)
+        out = fn(self.arrays, jnp.asarray(flat))
         self._result = np.asarray(out)  # the ONE transfer
         offs, acc = [], 0
         for arr, reqs in zip(self.arrays, self._reqs):
