@@ -55,3 +55,16 @@ def test_checkpoint_config_mismatch_rejected():
         prove_resumable(other, resume=ckpt)
     with pytest.raises(ValueError):
         prove_resumable(CFG, a1=999, resume=ckpt)
+
+
+def test_resume_with_mesh_matches():
+    """Checkpoint/resume composes with the sharded prover."""
+    import jax
+
+    from stark_tpu.dist import make_mesh
+
+    mesh = make_mesh(4, devices=jax.local_devices(backend="cpu")[:4])
+    ckpt = prove_resumable(CFG, stop_after="fri-commit", mesh=mesh)
+    resumed = prove_resumable(CFG, resume=ckpt, mesh=mesh)
+    assert resumed.proof == prove(CFG).proof
+    assert verify(resumed)
