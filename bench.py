@@ -146,7 +146,7 @@ def main():
     log_m = 16 if args.quick else 22
     m = 1 << log_m
     leaves = dev_rand(m, 4)
-    if _use_pallas_build(m):
+    if _use_pallas_build(m, leaves):
         from stark_tpu.hash.pallas_sha import build_jit_pallas
 
         build = build_jit_pallas(m)

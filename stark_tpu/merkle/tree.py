@@ -40,13 +40,21 @@ _U32 = jnp.uint32
 _PALLAS_MIN_LEAVES = 1 << 16
 
 
-def _use_pallas_build(n: int) -> bool:
+def _use_pallas_build(n: int, values=None) -> bool:
     import os
 
     if os.environ.get("STARK_TPU_NO_PALLAS"):
         return False
     if n < _PALLAS_MIN_LEAVES or n & (n - 1):
         return False
+    # decide by where the VALUES live, not the default backend — on this
+    # environment the TPU plugin makes default_backend() "tpu" even when
+    # the computation is pinned to CPU devices
+    if values is not None:
+        try:
+            return next(iter(values.devices())).platform == "tpu"
+        except (AttributeError, StopIteration, TypeError):
+            pass
     import jax
 
     return jax.default_backend() == "tpu"
@@ -90,7 +98,7 @@ class MerkleTree:
             if values.ndim != 1 or values.shape[0] == 0:
                 raise ValueError("MerkleTree needs a non-empty 1-D vector")
             n = int(values.shape[0])
-            if _use_pallas_build(n):
+            if _use_pallas_build(n, values):
                 from stark_tpu.hash.pallas_sha import build_jit_pallas
 
                 self.levels = build_jit_pallas(n)(values)
