@@ -67,6 +67,13 @@ class ProverConfig:
         p = self.modulus
         if p <= 2 or p % 2 == 0:
             raise ValueError(f"modulus must be an odd prime > 2, got {p}")
+        if self.log2_trace < 2:
+            raise ValueError(f"log2_trace must be >= 2, got {self.log2_trace}")
+        b = self.blowup
+        if b < 2 or (b & (b - 1)) != 0:
+            raise ValueError(f"blowup must be a power of two >= 2, got {b}")
+        if self.num_queries < 1:
+            raise ValueError(f"num_queries must be >= 1, got {self.num_queries}")
         n = self.eval_domain_size
         if (p - 1) % n != 0:
             raise ValueError(

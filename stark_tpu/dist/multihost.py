@@ -91,17 +91,27 @@ def multihost_prove(cfg, a1: int = 3141592, backend: str | None = None,
     mesh = global_mesh(backend)
     proof = prove(cfg, a1=a1, mesh=mesh)
     if check_agreement and jax.process_count() > 1:
-        import hashlib
-
-        import jax.numpy as jnp
-        import numpy as np
-
-        digest = hashlib.sha256(b"".join(proof.proof)).digest()[:4]
-        local = jnp.uint32(int.from_bytes(digest, "big"))
-        # all processes must contribute the same value; max == min iff so
-        arrs = jax.make_array_from_process_local_data  # touch API for clarity
-        del arrs
-        mx = jax.experimental.multihost_utils.process_allgather(local)
-        if not np.all(np.asarray(mx) == np.asarray(mx)[0]):
-            raise RuntimeError("transcript divergence across hosts")
+        check_transcript_agreement(proof.proof)
     return proof
+
+
+def check_transcript_agreement(proof_messages) -> None:
+    """Cross-host failure detection (SURVEY §5.3): allgather a 4-byte
+    transcript digest across processes and raise on divergence.
+
+    Deterministic proving means any divergence is a real fault (corrupted
+    host state, nondeterministic kernel, bad resume) — surface it loudly
+    instead of emitting per-host-different proofs."""
+    import hashlib
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    digest = hashlib.sha256(b"".join(proof_messages)).digest()[:4]
+    local = np.uint32(int.from_bytes(digest, "big"))
+    gathered = np.asarray(multihost_utils.process_allgather(local))
+    if not np.all(gathered == gathered[0]):
+        raise RuntimeError(
+            "transcript divergence across hosts: "
+            f"digests {[hex(int(g)) for g in gathered]}"
+        )

@@ -120,11 +120,15 @@ def verify_fri(
     decommit_fri.  Raises FRIVerificationError with a reason on failure;
     returns True on success."""
     ch = channel or VerifierChannel(p, proof)
-    roots, betas, final_value = replay_commit(ch, num_folds)
-    for q in range(num_queries):
-        idx0 = ch.receive_random_int(0, max_index, True)
-        verify_query_layers(
-            ch, idx0, roots, betas, final_value, p, domain_size, offset,
-            label=f"query {q}: ",
-        )
+    try:
+        roots, betas, final_value = replay_commit(ch, num_folds)
+        for q in range(num_queries):
+            idx0 = ch.receive_random_int(0, max_index, True)
+            verify_query_layers(
+                ch, idx0, roots, betas, final_value, p, domain_size, offset,
+                label=f"query {q}: ",
+            )
+    except (UnicodeDecodeError, OverflowError, ValueError) as e:
+        # malformed transcript bytes are rejections, not crashes
+        raise FRIVerificationError(f"malformed transcript: {e!r}") from e
     return True

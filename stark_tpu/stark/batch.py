@@ -174,14 +174,28 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
         ch.send(np.asarray(roots_h[0][i]).astype(">u4").tobytes().hex().encode())
         for k in range(air0.num_alphas):
             el = ch.receive_random_field_element()
-            assert el.value == int(draws_h[k][i]), "batched FS diverged"
+            if el.value != int(draws_h[k][i]):
+                raise RuntimeError(
+                    "batched device Fiat-Shamir diverged from host transcript "
+                    f"(alpha {k}: {int(draws_h[k][i])} != {el.value})"
+                )
         ch.mark_phase("fri-commit")
         ch.send(np.asarray(roots_h[1][i]).astype(">u4").tobytes().hex().encode())
         for k in range(num_folds):
             el = ch.receive_random_field_element()
-            assert el.value == int(draws_h[air0.num_alphas + k][i])
+            if el.value != int(draws_h[air0.num_alphas + k][i]):
+                raise RuntimeError(
+                    "batched device Fiat-Shamir diverged from host transcript "
+                    f"(beta {k}: {int(draws_h[air0.num_alphas + k][i])} != {el.value})"
+                )
             ch.send(
                 np.asarray(roots_h[2 + k][i]).astype(">u4").tobytes().hex().encode()
+            )
+        finals_i = np.asarray(finals_h[i])
+        if not np.all(finals_i == finals_i[0]):
+            raise ValueError(
+                f"proof {i}: final FRI layer is not constant — composition "
+                "degree exceeds 2^num_folds (proof would be rejected)"
             )
         final_value = int(finals_h[i][0])
         ch.send(final_value.to_bytes(8, "big"))

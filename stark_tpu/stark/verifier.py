@@ -26,10 +26,37 @@ class StarkVerificationError(Exception):
     pass
 
 
-def verify(proof: StarkProof, air=None) -> bool:
+def verify(proof: StarkProof, air=None, *, expected_config=None,
+           expected_publics=None, min_queries: int = 1) -> bool:
     """Verify a STARK proof against its public statement.
-    Raises StarkVerificationError on failure; True on success."""
+    Raises StarkVerificationError on failure; True on success.
+
+    Security note: `proof.config` and `proof.publics` travel WITH the
+    proof, i.e. they are attacker-controlled.  A verifier that cares about
+    a specific statement/security level must pin them: pass
+    `expected_config` (the ProverConfig the protocol mandates) and/or
+    `expected_publics` (the claimed statement) and they are compared
+    before any transcript replay.  Independently, floor parameters are
+    always enforced: `cfg.validate()` (blowup >= 2 a power of two,
+    num_queries >= 1) plus the caller-settable `min_queries`.
+    """
     cfg = proof.config
+    if expected_config is not None and cfg != expected_config:
+        raise StarkVerificationError(
+            f"proof config {cfg} != expected {expected_config}"
+        )
+    if expected_publics is not None and dict(proof.publics) != dict(expected_publics):
+        raise StarkVerificationError(
+            f"proof publics {proof.publics} != expected {expected_publics}"
+        )
+    try:
+        cfg.validate()
+    except ValueError as e:
+        raise StarkVerificationError(f"insecure/invalid config: {e}") from e
+    if cfg.num_queries < min_queries:
+        raise StarkVerificationError(
+            f"proof has {cfg.num_queries} queries < required {min_queries}"
+        )
     if air is None:
         from stark_tpu.stark.air import air_from_name
 
@@ -78,4 +105,8 @@ def verify(proof: StarkProof, air=None) -> bool:
             )
     except (ChannelError, FRIVerificationError) as e:
         raise StarkVerificationError(str(e)) from e
+    except (UnicodeDecodeError, OverflowError, ValueError) as e:
+        # malformed transcript bytes (non-UTF-8 root message, oversized
+        # value message, bad hex) are rejections, not crashes
+        raise StarkVerificationError(f"malformed transcript: {e!r}") from e
     return True

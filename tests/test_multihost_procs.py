@@ -157,3 +157,69 @@ def test_two_process_full_sharded_prove():
     solo = prove(ProverConfig(log2_trace=6, blowup=4, num_queries=2))
     solo_digest = "DIGEST " + hashlib.sha256(b"".join(solo.proof)).hexdigest()
     assert digests[0] == solo_digest
+
+
+_AGREE_WORKER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.distributed.initialize(
+    coordinator_address="localhost:{port}", num_processes=2,
+    process_id={rank},
+)
+from stark_tpu.dist.multihost import check_transcript_agreement
+
+# identical transcripts on both ranks: must pass
+check_transcript_agreement([b"root-abc", b"beta-1", b"value-42"])
+print("AGREE-OK", flush=True)
+
+# rank-dependent transcript (simulated corruption on rank 1): must raise
+corrupt = [b"root-abc", b"beta-1" if {rank} == 0 else b"beta-CORRUPT"]
+try:
+    check_transcript_agreement(corrupt)
+except RuntimeError as e:
+    assert "divergence" in str(e), e
+    print("DIVERGE-DETECTED", flush=True)
+else:
+    print("DIVERGE-MISSED", flush=True)
+print("RANK{rank}-OK", flush=True)
+"""
+
+
+def test_two_process_transcript_agreement_detection():
+    """Cross-host failure detection (SURVEY §5.3): the digest allgather in
+    check_transcript_agreement must pass on identical transcripts and
+    raise on a corrupted rank — exercised over a real 2-process group."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "TPU_WORKER_HOSTNAMES",
+                     "XLA_FLAGS", "PJRT_LIBRARY_PATH")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", "-c",
+             _AGREE_WORKER.format(repo=REPO, port=port, rank=rank)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for rank in (0, 1)
+    ]
+    outs = []
+    try:
+        for pr in procs:
+            out, err = pr.communicate(timeout=600)
+            outs.append((pr.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for pr in procs:
+            pr.kill()
+        pytest.fail("agreement workers timed out")
+    for rank, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        assert "AGREE-OK" in out
+        assert "DIVERGE-DETECTED" in out
+        assert "DIVERGE-MISSED" not in out
+        assert f"RANK{rank}-OK" in out

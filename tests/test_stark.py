@@ -143,3 +143,76 @@ class TestSoundness:
         with pytest.raises(StarkVerificationError):
             verify(cheat_claim)
         assert verify(honest)
+
+
+class TestVerifierHardening:
+    """The proof carries its own config/publics — attacker-controlled.
+    verify() must enforce parameter floors, honor caller pins, and reject
+    malformed bytes with StarkVerificationError (advisor round-1 findings)."""
+
+    def test_zero_query_forgery_rejected(self, small_proof):
+        """Round-1 exploit: truncate an honest proof to its commit phase,
+        set num_queries=0 and a false a_last — previously ACCEPTED."""
+        import dataclasses
+
+        n_commit = 12  # strictly more than the commit messages; any prefix works
+        forged_cfg = dataclasses.replace(small_proof.config, num_queries=0)
+        forged = StarkProof(
+            small_proof.proof[:n_commit], small_proof.a0,
+            small_proof.a_last + 1, forged_cfg,
+        )
+        with pytest.raises(StarkVerificationError):
+            verify(forged)
+
+    def test_degenerate_blowup_rejected(self, small_proof):
+        import dataclasses
+
+        for bad in (1, 3):
+            forged_cfg = dataclasses.replace(small_proof.config, blowup=bad)
+            forged = StarkProof(
+                small_proof.proof, small_proof.a0, small_proof.a_last,
+                forged_cfg,
+            )
+            with pytest.raises(StarkVerificationError):
+                verify(forged)
+
+    def test_expected_config_pin(self, small_proof):
+        import dataclasses
+
+        assert verify(small_proof, expected_config=small_proof.config)
+        other = dataclasses.replace(small_proof.config, num_queries=8)
+        with pytest.raises(StarkVerificationError):
+            verify(small_proof, expected_config=other)
+
+    def test_expected_publics_pin(self, small_proof):
+        assert verify(small_proof, expected_publics=small_proof.publics)
+        wrong = dict(small_proof.publics)
+        wrong["a_last"] = (wrong["a_last"] + 1) % DEFAULT_MODULUS
+        with pytest.raises(StarkVerificationError):
+            verify(small_proof, expected_publics=wrong)
+
+    def test_min_queries_floor(self, small_proof):
+        assert verify(small_proof, min_queries=SMALL.num_queries)
+        with pytest.raises(StarkVerificationError):
+            verify(small_proof, min_queries=SMALL.num_queries + 1)
+
+    @pytest.mark.parametrize("pos", [0, 1, 12, 14])
+    def test_malformed_bytes_rejected_not_crash(self, small_proof, pos):
+        """Non-UTF-8 root bytes / oversized value messages must raise
+        StarkVerificationError, not UnicodeDecodeError/OverflowError."""
+        msgs = [bytes(m) for m in small_proof.proof]
+        msgs[pos] = b"\xff\xfe" * 8  # invalid UTF-8, and > 8 bytes as an int
+        bad = StarkProof(msgs, small_proof.a0, small_proof.a_last,
+                         small_proof.config)
+        with pytest.raises(StarkVerificationError):
+            verify(bad)
+
+    def test_config_validate_floors(self):
+        with pytest.raises(ValueError):
+            ProverConfig(blowup=3).validate()
+        with pytest.raises(ValueError):
+            ProverConfig(blowup=1).validate()
+        with pytest.raises(ValueError):
+            ProverConfig(num_queries=0).validate()
+        with pytest.raises(ValueError):
+            ProverConfig(log2_trace=1).validate()
