@@ -202,6 +202,16 @@ def main():
     assert verify(proof)
     log(f"STARK prove 2^{log2_tr} rows (warm): {t_pv*1e3:.0f} ms (verified)")
 
+    # per-phase split (SURVEY §5.5): one instrumented prove with precise
+    # phase syncs; the split localizes where warm-prove time goes
+    from stark_tpu.utils.metrics import MetricsCollector
+
+    mx = MetricsCollector()
+    prove(cfg, metrics=mx)
+    results["prove_phase_split"] = mx.to_dict()
+    for ph in mx.to_dict()["phases"]:
+        log(f"  phase {ph['name']}: {ph['wall_s']*1e3:.1f} ms")
+
     if args.full_prove:
         cfg = ProverConfig(log2_trace=18, blowup=8, num_queries=16)
         t0 = time.perf_counter()

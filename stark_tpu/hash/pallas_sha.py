@@ -33,54 +33,107 @@ def _rotr(x, r: int):
     return (x >> _U32(r)) | (x << _U32(32 - r))
 
 
+def _round(st, wi, ki):
+    """One SHA-256 round on an 8-tuple working state."""
+    a, b, c, d, e, f, g, h = st
+    e1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+    ch = (e & f) ^ (~e & g)
+    t1 = h + e1 + ch + ki + wi
+    e0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+    maj = (a & b) ^ (a & c) ^ (b & c)
+    t2 = e0 + maj
+    return (t1 + t2, a, b, c, d + t1, e, f, g)
+
+
+def _extend(w, j):
+    """Message-schedule extension w[j+16] from a window list."""
+    x15, x2 = w[j + 1], w[j + 14]
+    s0 = _rotr(x15, 7) ^ _rotr(x15, 18) ^ (x15 >> _U32(3))
+    s1 = _rotr(x2, 17) ^ _rotr(x2, 19) ^ (x2 >> _U32(10))
+    return w[j] + s0 + w[j + 9] + s1
+
+
 def _compress_unrolled(state, w16):
     """64 fully-unrolled rounds on vector registers (fine for Mosaic —
     it is XLA's graph passes that choke on unrolled SHA, not Mosaic)."""
     w = list(w16)
-    a, b, c, d, e, f, g, h = state
+    st = tuple(state)
     for i in range(64):
         if i >= 16:
-            x15, x2 = w[i - 15], w[i - 2]
-            s0 = _rotr(x15, 7) ^ _rotr(x15, 18) ^ (x15 >> _U32(3))
-            s1 = _rotr(x2, 17) ^ _rotr(x2, 19) ^ (x2 >> _U32(10))
-            w.append(w[i - 16] + s0 + w[i - 7] + s1)
-        e1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
-        ch = (e & f) ^ (~e & g)
-        t1 = h + e1 + ch + _U32(_K[i]) + w[i]
-        e0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
-        maj = (a & b) ^ (a & c) ^ (b & c)
-        t2 = e0 + maj
-        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-    return [s + n for s, n in zip(state, [a, b, c, d, e, f, g, h])]
+            w.append(_extend(w, i - 16))
+        st = _round(st, w[i], _U32(_K[i]))
+    return [s + n for s, n in zip(state, st)]
 
 
-def _leaf_kernel(v_ref, o_ref):
-    """SHA-256 of 8-byte BE values (high word 0).  v: (R, 128) values;
-    o: (8, R, 128) digest planes."""
-    lo = v_ref[:]
-    shape = lo.shape
-    zero = jnp.zeros(shape, _U32)
-    w = [zero, lo, jnp.full(shape, _U32(0x80000000))] + [zero] * 12 + [
-        jnp.full(shape, _U32(64))
-    ]
-    out = _compress_unrolled([jnp.full(shape, _U32(h)) for h in _H0], w)
-    for i in range(8):
-        o_ref[i] = out[i]
+def _compress_loop(state, w16, kt):
+    """Same compression as a fori_loop over 4 blocks of 16 unrolled
+    rounds — identical math, ~1/4 the traced graph.  XLA-CPU (and hence
+    pallas interpret mode) takes >10 min to compile the fully-unrolled
+    form; this compiles in seconds.  ``kt``: the round constants as a
+    (4, 16) u32 array (kernel input — pallas forbids captured array
+    constants)."""
+
+    def block(it, carry):
+        w_arr, st = carry
+        ks = jax.lax.dynamic_index_in_dim(kt, it, 0, keepdims=False)
+        w = [w_arr[j] for j in range(16)]
+        for j in range(16):
+            st = _round(st, w[j], ks[j])
+            w.append(_extend(w, j))  # window for the next block
+        return jnp.stack(w[16:]), st
+
+    _, st = jax.lax.fori_loop(0, 4, block, (jnp.stack(w16), tuple(state)))
+    return [s + n for s, n in zip(state, st)]
 
 
-def _node_kernel(l_ref, r_ref, o_ref):
-    """Parent = SHA-256(left||right).  l/r: (8, R, 128) digest planes;
-    o: (8, R, 128)."""
-    shape = l_ref.shape[1:]
-    w1 = [l_ref[i] for i in range(8)] + [r_ref[i] for i in range(8)]
-    st = _compress_unrolled([jnp.full(shape, _U32(h)) for h in _H0], w1)
-    zero = jnp.zeros(shape, _U32)
-    w2 = [jnp.full(shape, _U32(0x80000000))] + [zero] * 14 + [
-        jnp.full(shape, _U32(512))
-    ]
-    out = _compress_unrolled(st, w2)
-    for i in range(8):
-        o_ref[i] = out[i]
+def _compress(state, w16, kt):
+    """kt=None -> fully unrolled (Mosaic); else the 4x16 loop form."""
+    if kt is None:
+        return _compress_unrolled(state, w16)
+    return _compress_loop(state, w16, kt)
+
+
+def _kt():
+    return jnp.asarray(_K, _U32).reshape(4, 16)
+
+
+def _make_leaf_kernel(loop: bool):
+    def _leaf_kernel(v_ref, *refs):
+        kt = refs[0][:] if loop else None
+        o_ref = refs[-1]
+        """SHA-256 of 8-byte BE values (high word 0).  v: (R, 128) values;
+        o: (8, R, 128) digest planes."""
+        lo = v_ref[:]
+        shape = lo.shape
+        zero = jnp.zeros(shape, _U32)
+        w = [zero, lo, jnp.full(shape, _U32(0x80000000))] + [zero] * 12 + [
+            jnp.full(shape, _U32(64))
+        ]
+        out = _compress([jnp.full(shape, _U32(h)) for h in _H0], w, kt)
+        for i in range(8):
+            o_ref[i] = out[i]
+
+    return _leaf_kernel
+
+
+def _make_node_kernel(loop: bool):
+    def _node_kernel(l_ref, r_ref, *refs):
+        kt = refs[0][:] if loop else None
+        o_ref = refs[-1]
+        """Parent = SHA-256(left||right).  l/r: (8, R, 128) digest planes;
+        o: (8, R, 128)."""
+        shape = l_ref.shape[1:]
+        w1 = [l_ref[i] for i in range(8)] + [r_ref[i] for i in range(8)]
+        st = _compress([jnp.full(shape, _U32(h)) for h in _H0], w1, kt)
+        zero = jnp.zeros(shape, _U32)
+        w2 = [jnp.full(shape, _U32(0x80000000))] + [zero] * 14 + [
+            jnp.full(shape, _U32(512))
+        ]
+        out = _compress(st, w2, kt)
+        for i in range(8):
+            o_ref[i] = out[i]
+
+    return _node_kernel
 
 
 @functools.lru_cache(maxsize=None)
@@ -89,20 +142,26 @@ def _leaf_call(n: int, interpret: bool):
     block_rows = min(_ROWS, rows)
     grid = rows // block_rows
 
+    in_specs = [
+        pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if interpret:
+        in_specs.append(pl.BlockSpec((4, 16), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
     def run(values):
         v = values.reshape(rows, LANES)
+        args = (v, _kt()) if interpret else (v,)
         planes = pl.pallas_call(
-            _leaf_kernel,
+            _make_leaf_kernel(loop=interpret),
             out_shape=jax.ShapeDtypeStruct((8, rows, LANES), _U32),
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(v)
+        )(*args)
         return planes.reshape(8, n)
 
     return run
@@ -115,23 +174,29 @@ def _node_call(m: int, interpret: bool):
     block_rows = min(_ROWS, rows)
     grid = rows // block_rows
 
+    in_specs = [
+        pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if interpret:
+        in_specs.append(pl.BlockSpec((4, 16), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
     def run(left, right):
         l = left.reshape(8, rows, LANES)
         r = right.reshape(8, rows, LANES)
+        args = (l, r, _kt()) if interpret else (l, r)
         planes = pl.pallas_call(
-            _node_kernel,
+            _make_node_kernel(loop=interpret),
             out_shape=jax.ShapeDtypeStruct((8, rows, LANES), _U32),
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(l, r)
+        )(*args)
         return planes.reshape(8, m)
 
     return run

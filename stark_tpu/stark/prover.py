@@ -114,13 +114,32 @@ def prove(
     mesh=None,
     channel: Channel | None = None,
     air=None,
+    metrics=None,
 ) -> StarkProof:
     """Prove a statement of the given AIR (default: Fibonacci-square with
     secret a_1, the reference's statement).
 
     With `mesh`, the LDE NTT, Merkle hashing, composition, and FRI folds
     run sharded over the device mesh; the transcript is byte-identical to
-    the single-device prove (mesh-shape determinism, SURVEY §4)."""
+    the single-device prove (mesh-shape determinism, SURVEY §4).
+
+    Per-phase metrics (SURVEY §5.5; the reference's only metrics are
+    channel.rs:87-95's proof sizes): every prove records phase wall times
+    and counters.  With `metrics=None` they accumulate in
+    ``stark_tpu.utils.metrics.GLOBAL`` without forcing device syncs; pass
+    an explicit MetricsCollector to get an accurate split (each phase's
+    outputs are block_until_ready'd)."""
+    import jax as _jax
+
+    from stark_tpu.utils import metrics as _metrics_mod
+
+    precise = metrics is not None
+    mx = metrics if metrics is not None else _metrics_mod.GLOBAL
+
+    def _sync(*arrs):
+        if precise:
+            _jax.block_until_ready(arrs)
+
     if air is None:
         from stark_tpu.stark.air import FibonacciSquareAIR
 
@@ -134,46 +153,53 @@ def prove(
     max_off = max(offsets)
 
     # -- trace + LDE ------------------------------------------------------
-    if trace is None:
-        trace = air.build_trace(cfg)
-    publics = air.publics(trace)
-    pub_vals = list(publics.values())
-    coeffs = trace_polynomial(trace, p)
-    if mesh is not None:
-        from stark_tpu.dist import dist_coset_evaluate
+    with mx.phase("trace-lde", n=M):
+        if trace is None:
+            trace = air.build_trace(cfg)
+        publics = air.publics(trace)
+        pub_vals = list(publics.values())
+        coeffs = trace_polynomial(trace, p)
+        if mesh is not None:
+            from stark_tpu.dist import dist_coset_evaluate
 
-        f_evals = dist_coset_evaluate(coeffs, p, M, h, mesh)
-    else:
-        f_evals = coset_evaluate(coeffs, p, M, h)
+            f_evals = dist_coset_evaluate(coeffs, p, M, h, mesh)
+        else:
+            f_evals = coset_evaluate(coeffs, p, M, h)
+        _sync(f_evals)
 
     # -- commit trace ------------------------------------------------------
     if channel is None:
         channel = Channel(p)
     channel.mark_phase("trace-commit")
-    if mesh is not None:
-        from stark_tpu.dist import dist_merkle_tree
+    with mx.phase("trace-commit", leaves=M):
+        if mesh is not None:
+            from stark_tpu.dist import dist_merkle_tree
 
-        trace_tree = dist_merkle_tree(f_evals, mesh)
-    else:
-        trace_tree = MerkleTree(f_evals)
-    # device-resident Fiat-Shamir for root absorption + alpha draws (one
-    # batched fetch instead of a sync per interaction)
-    from stark_tpu.channel.device_channel import DeviceFS
+            trace_tree = dist_merkle_tree(f_evals, mesh)
+        else:
+            trace_tree = MerkleTree(f_evals)
+        # device-resident Fiat-Shamir for root absorption + alpha draws (one
+        # batched fetch instead of a sync per interaction)
+        from stark_tpu.channel.device_channel import DeviceFS
 
-    fs = DeviceFS(p, channel.state, mesh=mesh)
-    fs.absorb_root(trace_tree.levels[-1][0])
-    alphas = tuple(fs.draw() for _ in range(air.num_alphas))
-    fs.finalize(channel)
+        fs = DeviceFS(p, channel.state, mesh=mesh)
+        fs.absorb_root(trace_tree.levels[-1][0])
+        alphas = tuple(fs.draw() for _ in range(air.num_alphas))
+        fs.finalize(channel)
 
     # -- composition -------------------------------------------------------
     channel.mark_phase("composition")
-    ctx = get_air_context(air, cfg)
-    cp = ctx.compose(f_evals, alphas, publics)
+    with mx.phase("composition"):
+        ctx = get_air_context(air, cfg)
+        cp = ctx.compose(f_evals, alphas, publics)
+        _sync(cp)
 
     # -- FRI ---------------------------------------------------------------
-    fri_proof: FRIProof = fri_commit(
-        cp, p, h, channel, num_folds=air.num_folds(cfg), strict=strict, mesh=mesh
-    )
+    with mx.phase("fri-commit", folds=air.num_folds(cfg)):
+        fri_proof: FRIProof = fri_commit(
+            cp, p, h, channel, num_folds=air.num_folds(cfg), strict=strict,
+            mesh=mesh,
+        )
 
     # -- queries -----------------------------------------------------------
     # One batched device gather + ONE device->host transfer per query:
@@ -182,32 +208,36 @@ def prove(
     from stark_tpu.utils.gather import BatchGather
 
     channel.mark_phase("queries")
-    arrays, slots = collect_query_arrays(
-        fri_proof.fri_layers,
-        fri_proof.fri_merkles,
-        extra_arrays=(f_evals, *trace_tree.levels[:-1]),
-    )
-    for _ in range(cfg.num_queries):
-        idx = channel.receive_random_int(0, M - max_off - 1, True)
-        bg = BatchGather(arrays, mesh=mesh)
-        plan = []
-        for off in offsets:
-            plan.append(("v", bg.want(slots[id(f_evals)], idx + off)))
-            plan.append(
-                (
-                    "p",
-                    [
-                        bg.want(slots[id(trace_tree.levels[li])], row)
-                        for li, row in trace_tree.path_rows(idx + off)
-                    ],
-                )
-            )
-        plan += plan_fri_query(
-            bg, slots, idx, fri_proof.fri_layers, fri_proof.fri_merkles
+    with mx.phase("queries", num_queries=cfg.num_queries):
+        arrays, slots = collect_query_arrays(
+            fri_proof.fri_layers,
+            fri_proof.fri_merkles,
+            extra_arrays=(f_evals, *trace_tree.levels[:-1]),
         )
-        bg.run()
-        emit_plan(plan, bg, channel)
+        for _ in range(cfg.num_queries):
+            idx = channel.receive_random_int(0, M - max_off - 1, True)
+            bg = BatchGather(arrays, mesh=mesh)
+            plan = []
+            for off in offsets:
+                plan.append(("v", bg.want(slots[id(f_evals)], idx + off)))
+                plan.append(
+                    (
+                        "p",
+                        [
+                            bg.want(slots[id(trace_tree.levels[li])], row)
+                            for li, row in trace_tree.path_rows(idx + off)
+                        ],
+                    )
+                )
+            plan += plan_fri_query(
+                bg, slots, idx, fri_proof.fri_layers, fri_proof.fri_merkles
+            )
+            bg.run()
+            emit_plan(plan, bg, channel)
 
+    proof_bytes = sum(len(m) for m in channel.proof)
+    mx.count("proves")
+    mx.count("proof_bytes", proof_bytes)
     extra = {k: v for k, v in publics.items()
              if k not in ("a0", "a_last", "input", "output")}
     return StarkProof(

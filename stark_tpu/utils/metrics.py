@@ -54,5 +54,9 @@ class MetricsCollector:
         return json.dumps(self.to_dict())
 
 
-# process-global collector used by prove() when none is passed
+# process-global collector used by prove() when none is passed.  Phases
+# recorded here do NOT force device syncs (zero overhead, so wall times
+# attribute async dispatch to the next blocking phase); pass an explicit
+# collector to prove(metrics=...) for an accurate per-phase split (it
+# block_until_ready's each phase's outputs).
 GLOBAL = MetricsCollector()
