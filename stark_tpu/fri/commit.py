@@ -234,8 +234,25 @@ def decommit_fri(
     channel: Channel,
 ) -> None:
     """Query phase (fri_commit.rs:168-179): draw each index from the
-    channel (shown in proof), then decommit all layers."""
+    channel (shown in proof), then decommit all layers.
+
+    When every layer is a power of two, the whole phase runs as ONE
+    device program + one fetch (channel/device_query.py); otherwise (or
+    under STARK_TPU_HOST_QUERIES) it falls back to one batched gather +
+    fetch per query."""
+    import os
+
     channel.mark_phase("fri-query")
+    lengths = tuple(int(l.shape[0]) for l in fri_layers)
+    rng = max_index + 1
+    from stark_tpu.channel import device_query as _dq
+
+    if not os.environ.get("STARK_TPU_HOST_QUERIES") and _dq.supported(
+            rng, None, lengths):
+        _dq.get_plan(rng, num_queries, (), None, lengths).run(
+            channel, None, (), fri_layers,
+            [t.levels[:-1] for t in fri_merkles])
+        return
     arrays_slots = collect_query_arrays(fri_layers, fri_merkles)
     for _ in range(num_queries):
         idx = channel.receive_random_int(0, max_index, True)

@@ -35,13 +35,58 @@ _U32 = jnp.uint32
 @functools.lru_cache(maxsize=None)
 def get_plan(p: int, n: int, inverse: bool = False):
     """Best single-device plan for the size: the 1-D Stockham plan for
-    small n, the layout-optimal four-step (ntt.fourstep) for large n —
-    bit-identical outputs either way."""
-    from stark_tpu.ntt.fourstep import FOURSTEP_MIN, get_fourstep_plan
+    small n, a placement-dispatching plan for large n (Pallas fused
+    kernels when the operand lives on a TPU, the XLA four-step
+    otherwise) — bit-identical outputs every way."""
+    from stark_tpu.ntt.fourstep import FOURSTEP_MIN
 
     if n >= FOURSTEP_MIN:
-        return get_fourstep_plan(p, n, inverse)
+        return _AutoPlan(p, n, inverse)
     return NTTPlan(p, n, inverse)
+
+
+# Pallas fused-kernel envelope (validated on TPU v5e hardware):
+# n1, n2 >= 128 requires n >= 2^14; above 2^22 a sqrt(n) sub-transform
+# no longer fits the 16 MB scoped-VMEM limit (rows > 2048 OOM, and
+# Mosaic rejects sub-128-lane blocks), so larger sizes fall back to the
+# XLA four-step until a 3-step Pallas decomposition lands.
+PALLAS_MIN = 1 << 14
+PALLAS_MAX = 1 << 22
+
+
+class _AutoPlan:
+    """Value-placement dispatch, mirroring merkle/tree.py's Pallas tree
+    selection (commit 8ffc308): concrete 1-D operands resident on a TPU
+    take the fused Pallas path (stark_tpu.ntt.pallas_ntt); tracers
+    (plans nested in an outer jit), batched operands, and CPU/other
+    backends take the XLA four-step.  Outputs are bit-identical, so the
+    choice never affects transcripts."""
+
+    def __init__(self, p: int, n: int, inverse: bool):
+        from stark_tpu.ntt.fourstep import get_fourstep_plan
+
+        self._xla = get_fourstep_plan(p, n, inverse)
+        self._key = (p, n, inverse)
+
+    def __call__(self, x) -> jax.Array:
+        p, n, inverse = self._key
+        if (
+            PALLAS_MIN <= n <= PALLAS_MAX
+            and getattr(x, "ndim", 0) == 1
+            and not isinstance(x, jax.core.Tracer)
+        ):
+            try:
+                on_tpu = next(iter(x.devices())).platform == "tpu"
+            except Exception:
+                on_tpu = False
+            if on_tpu:
+                from stark_tpu.ntt.pallas_ntt import _plan as _pallas_plan
+
+                return _pallas_plan(p, n, inverse, False)(x)
+        return self._xla(x)
+
+    def __getattr__(self, name):
+        return getattr(self._xla, name)
 
 
 @functools.lru_cache(maxsize=None)

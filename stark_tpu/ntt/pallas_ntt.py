@@ -1,24 +1,38 @@
-"""Pallas fused four-step NTT — the speed-of-light single-chip path.
+"""Pallas fused four-step NTT — the HBM-bound single-chip path.
 
-The XLA Stockham plan (stark_tpu.ntt.ntt) executes log2(n) separate
-butterfly stages, each a full HBM round trip: ~2*log2(n) passes over the
-data.  This kernel restructures the transform as the four-step algorithm
-n = n1 * n2 (same decomposition as the distributed NTT, dist/ntt.py) and
-fuses each sub-transform's stages entirely in VMEM:
+The XLA four-step plan (ntt/fourstep.py) is structurally limited to one
+HBM round trip per butterfly stage: ~2*log2(n) passes.  This kernel fuses
+every stage of each length-sqrt(n) sub-transform in VMEM, cutting traffic
+to ~6 passes + one twiddle-table read, independent of log n.
 
-  step 1 (pallas): for each 128-column block of A = x.reshape(n1, n2),
-          run all log2(n1) Stockham stages along axis 0 in VMEM, then
-          multiply by the twiddle block T[k1, j2] = w^(j2*k1)
-  step t (XLA):    one u32 transpose (n1, n2) -> (n2, n1)
-  step 2 (pallas): for each 128-column block of C^T, run all log2(n2)
-          stages along axis 0; output IS X.reshape(n2, n1) row-major —
-          no third transpose (derivation in dist/ntt.py docstring)
+Why this formulation (round-1's kernel was *slower* than XLA): a Stockham
+stage interleaves its outputs at stride m = 1, 2, 4, ... — every stage is
+a sublane relayout, which Mosaic compiles to register-shuffle storms (the
+old kernel measured 1.16 ms at 2^18 vs XLA's 0.89 ms, and took 115 s to
+compile at 2^20).  Here each sub-transform is a classic DIT radix-2 with
 
-HBM traffic: ~6 passes + one twiddle-table read, independent of log n —
-vs ~2 log2(n) for the staged XLA plan.  All math is the same uint32
-Montgomery arithmetic (fields/fp.py); lanes (last dim, 128) carry batch,
-transforms always run along the sublane axis so no lane-crossing
-reshapes occur.
+* input in bit-reversed row order — ONE coalesced XLA row-gather outside
+  the kernel (8 KB rows, bandwidth-speed), and
+* every in-kernel stage touching only *contiguous halves*:
+    - coarse stages (block l >= 16): slice/concat at >= 8-row (sublane
+      tile) granularity — pure block moves, zero relayout;
+    - fine stages (l = 2, 4, 8): partner rows fetched with sublane
+      rolls (+-1, 2, 4) and combined under an iota mask — no relayout.
+
+Pipeline (n = n1 * n2, same decomposition and twiddle conventions as
+fourstep.py / dist/ntt.py; output bit-identical to both):
+
+  A  = x.reshape(n1, n2)[bitrev(n1)]          XLA row-gather
+  C  = DIT_n1(A) * T,  T[k1,j2] = w^(j2*k1)   pallas K1 (to_mont fused)
+  Ct = C.T[bitrev(n2)]                        XLA transpose + row-gather
+  D  = DIT_n2(Ct)                             pallas K2 (from_mont fused)
+  X  = D.reshape(n)                           natural order
+
+All arithmetic is uint32 Montgomery (fields/fp.py).  Transforms run along
+the sublane axis; lanes (128) carry the batch, so no lane-crossing ops.
+
+Reference anchor: the NTT is the reference crate's own #1 TODO
+(/root/reference/Readme.md:2) — it has no NTT at all.
 """
 
 from __future__ import annotations
@@ -27,6 +41,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -37,47 +52,86 @@ _U32 = jnp.uint32
 LANES = 128
 
 
-def _stage_twiddles_mont(fp: Fp, length: int, root: int):
-    """Expanded per-stage twiddle patterns, mont form, concatenated as one
-    ((length/2) * log2(length), 1) array.  Stage with half-length lh and
-    inner size m stores its (lh, m) broadcast pattern flattened (the same
-    twiddle repeated m times) — so the kernel only ever broadcasts across
-    LANES (Mosaic rejects combined sublane+lane broadcasts)."""
-    p = fp.p
-
-    def build():
-        parts = []
-        l, m = length, 1
-        while l > 1:
-            lh = l // 2
-            wl = pow(root, length // l, p)
-            tw = fp.to_mont(fp.powers(wl, lh))
-            parts.append(jnp.repeat(tw, m))  # (lh*m,) == (length/2,)
-            l, m = lh, 2 * m
-        if not parts:
-            parts = [jnp.zeros((1,), _U32)]
-        return jnp.concatenate(parts)[:, None]
-
-    return jax.jit(build)()  # one dispatch (tunnel round trips are ~0.5s)
+MAX_ROWS = 2048  # a (4096, 128) strip blew the 16 MB scoped-VMEM limit
 
 
-def _stages_axis0(fp: Fp, xm, tws_ref, length: int):
-    """All butterfly stages along axis 0 of (length, LANES), lanes batch.
-    xm Montgomery-form; twiddles from tws_ref (see _stage_twiddles_mont)."""
-    l, m = length, 1
+def _bitrev(l: int) -> np.ndarray:
+    bits = l.bit_length() - 1
+    idx = np.arange(l, dtype=np.uint32)
+    out = np.zeros_like(idx)
+    for b in range(bits):
+        out |= ((idx >> b) & 1) << (bits - 1 - b)
+    return out.astype(np.int32)
+
+
+def _dit_twiddles_packed(p: int, length: int, root: int, r: int) -> np.ndarray:
+    """Packed per-stage DIT twiddles, Montgomery form, shape (K, 1).
+
+    Layout (offsets are static python ints consumed by the kernel):
+      [0,       length)   : fine l=4 column  w4^(row mod 2)
+      [length, 2*length)  : fine l=8 column  w8^(row mod 4)
+      then one (l/2,) segment per coarse stage l = 16, 32, ..., length.
+    (l=2 needs no twiddles — w2^0 = 1.)
+    """
+    segs = []
+    rows = np.arange(length, dtype=np.int64)
+    for l in (4, 8):
+        wl = pow(root, length // l, p)
+        col = np.array([pow(wl, int(j % (l // 2)), p) * r % p for j in
+                        range(l)], dtype=np.uint64)
+        segs.append(col[rows % l].astype(np.uint32))
+    l = 16
+    while l <= length:
+        wl = pow(root, length // l, p)
+        seg = np.empty(l // 2, dtype=np.uint32)
+        cur = r % p
+        step = wl * r % p  # mont(wl)
+        # mont powers: seg[j] = wl^j * R mod p
+        val = r % p
+        for j in range(l // 2):
+            seg[j] = val
+            val = val * wl % p
+        segs.append(seg)
+        l *= 2
+    return np.concatenate(segs).astype(np.uint32)[:, None]
+
+
+def _dit_stages(fp: Fp, ym, tws_ref, length: int, lanes: int):
+    """All DIT radix-2 stages along axis 0 of (length, lanes), Montgomery
+    domain, input rows bit-reversed, output natural."""
+    rows = jax.lax.broadcasted_iota(_U32, (length, 1), 0)
+
+    # -- fine stages: partner via sublane roll, combine under iota mask --
+    # (pltpu.roll requires non-negative shifts: roll(-d) == roll(len-d))
+    # l = 2 (twiddle = 1)
+    up = pltpu.roll(ym, length - 1, 0)
+    down = pltpu.roll(ym, 1, 0)
+    top = (rows & _U32(1)) == _U32(0)
+    ym = jnp.where(top, fp.add(ym, up), fp.sub(down, ym))
+    # l = 4, 8
     off = 0
-    half = length // 2
-    while l > 1:
+    for l, d in ((4, 2), (8, 4)):
+        tw = tws_ref[off:off + length]          # (length, 1) mont column
+        off += length
+        up = pltpu.roll(ym, length - d, 0)
+        down = pltpu.roll(ym, d, 0)
+        top = (rows & _U32(l - 1)) < _U32(d)
+        m = fp.mont_mul(tw, jnp.where(top, up, ym))
+        ym = jnp.where(top, fp.add(ym, m), fp.sub(down, m))
+
+    # -- coarse stages: contiguous-half slices at >= 8-row granularity --
+    l = 16
+    while l <= length:
         lh = l // 2
-        t = tws_ref[off : off + half].reshape(lh, m, 1)  # lane-broadcast only
-        v = xm.reshape(l, m, LANES)
-        a, b = v[:lh], v[lh:]
-        top = fp.add(a, b)
-        bot = fp.mont_mul(t, fp.sub(a, b))
-        xm = jnp.stack([top, bot], axis=1).reshape(lh * 2 * m, LANES)
-        off += half
-        l, m = lh, 2 * m
-    return xm
+        tw = tws_ref[off:off + lh].reshape(1, lh, 1)
+        off += lh
+        v = ym.reshape(length // l, l, lanes)
+        a, b = v[:, :lh, :], v[:, lh:, :]
+        bw = fp.mont_mul(tw, b)
+        ym = jnp.concatenate([fp.add(a, bw), fp.sub(a, bw)],
+                             axis=1).reshape(length, lanes)
+        l *= 2
+    return ym
 
 
 @functools.lru_cache(maxsize=None)
@@ -97,6 +151,13 @@ class _PallasNTT:
             raise ValueError(
                 f"pallas NTT needs n >= 2^14 (got 2^{log_n}); use the XLA plan"
             )
+        if max(self.n1, self.n2) > MAX_ROWS:
+            raise ValueError(
+                f"pallas NTT supports n <= 2^22 (got 2^{log_n}): a "
+                "sqrt(n) sub-transform must fit the 16 MB scoped VMEM; "
+                "use the XLA four-step plan"
+            )
+        self.lanes1 = self.lanes2 = LANES
         self.p = p
         self.n = n
         self.inverse = inverse
@@ -104,66 +165,75 @@ class _PallasNTT:
         w = root_of_unity(p, n)
         if inverse:
             w = pow(w, p - 2, p)
-        # sub-transform roots (see dist/ntt.py): step1 root w^n2 (order n1),
+        # sub-transform roots (dist/ntt.py): step1 root w^n2 (order n1),
         # step2 root w^n1 (order n2)
-        self.tws1 = _stage_twiddles_mont(fp, self.n1, pow(w, self.n2, p))
-        self.tws2 = _stage_twiddles_mont(fp, self.n2, pow(w, self.n1, p))
+        self.tws1 = jnp.asarray(
+            _dit_twiddles_packed(p, self.n1, pow(w, self.n2, p), fp.r))
+        self.tws2 = jnp.asarray(
+            _dit_twiddles_packed(p, self.n2, pow(w, self.n1, p), fp.r))
+        self.rev1 = jnp.asarray(_bitrev(self.n1))
+        self.rev2 = jnp.asarray(_bitrev(self.n2))
         # big twiddle table T[k1, j2] = w^(j2*k1), mont form, (n1, n2)
         ratios = fp.jit_powers(w, self.n1)  # w^k1
         self.table = fp.jit_to_mont(fp.jit_geometric_table(ratios, self.n2))
-        self.ninv_mont = pow(n, p - 2, p) * fp.r % p  # python int -> kernel literal
+        self.ninv_mont = pow(n, p - 2, p) * fp.r % p  # int -> kernel literal
         self.interpret = interpret
         self._jit = jax.jit(self._run)
 
     # -- kernels ----------------------------------------------------------
     def _step1_kernel(self, x_ref, t_ref, tws_ref, o_ref):
         fp = self.fp
-        xm = fp.to_mont(x_ref[:])                       # (n1, LANES)
-        xm = _stages_axis0(fp, xm, tws_ref, self.n1)    # B[k1, j2]
-        o_ref[:] = fp.mont_mul(xm, t_ref[:])            # * w^(j2 k1)
+        ym = fp.to_mont(x_ref[:])                       # (n1, lanes1)
+        ym = _dit_stages(fp, ym, tws_ref, self.n1, self.lanes1)
+        o_ref[:] = fp.mont_mul(ym, t_ref[:])            # * w^(j2 k1)
 
     def _step2_kernel(self, x_ref, tws_ref, o_ref):
         fp = self.fp
-        xm = _stages_axis0(fp, x_ref[:], tws_ref, self.n2)
+        ym = _dit_stages(fp, x_ref[:], tws_ref, self.n2, self.lanes2)
         if self.inverse:
-            xm = fp.mont_mul(xm, _U32(self.ninv_mont))
-        o_ref[:] = fp.from_mont(xm)
+            ym = fp.mont_mul(ym, _U32(self.ninv_mont))
+        o_ref[:] = fp.from_mont(ym)
 
-    def _run(self, x, table, tws1, tws2):
+    def _run(self, x, table, tws1, tws2, rev1, rev2):
         n1, n2 = self.n1, self.n2
-        a = x.reshape(n1, n2)
+        l1, l2 = self.lanes1, self.lanes2
+        a = jnp.take(x.reshape(n1, n2), rev1, axis=0)   # coalesced row-gather
         c = pl.pallas_call(
             self._step1_kernel,
             out_shape=jax.ShapeDtypeStruct((n1, n2), _U32),
-            grid=(n2 // LANES,),
+            grid=(n2 // l1,),
             in_specs=[
-                pl.BlockSpec((n1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n1, l1), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n1, l1), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((tws1.shape[0], 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((n1, LANES), lambda i: (0, i),
+            out_specs=pl.BlockSpec((n1, l1), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             interpret=self.interpret,
         )(a, table, tws1)
-        ct = c.T  # XLA transpose (n2, n1)
-        d_t = pl.pallas_call(
+        ct = jnp.take(c.T, rev2, axis=0)                # (n2, n1)
+        d = pl.pallas_call(
             self._step2_kernel,
             out_shape=jax.ShapeDtypeStruct((n2, n1), _U32),
-            grid=(n1 // LANES,),
+            grid=(n1 // l2,),
             in_specs=[
-                pl.BlockSpec((n2, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n2, l2), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((tws2.shape[0], 1), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((n2, LANES), lambda i: (0, i),
+            out_specs=pl.BlockSpec((n2, l2), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
             interpret=self.interpret,
         )(ct, tws2)
-        return d_t.reshape(self.n)  # == X in natural order
+        return d.reshape(self.n)  # == X in natural order
 
     def __call__(self, x):
-        return self._jit(x, self.table, self.tws1, self.tws2)
+        return self._jit(x, self.table, self.tws1, self.tws2,
+                         self.rev1, self.rev2)
 
 
 def pallas_ntt(x, p: int, interpret: bool = False):

@@ -202,38 +202,62 @@ def prove(
         )
 
     # -- queries -----------------------------------------------------------
-    # One batched device gather + ONE device->host transfer per query:
-    # the trace openings + their paths + every FRI layer's openings.
-    from stark_tpu.fri.commit import collect_query_arrays, emit_plan, plan_fri_query
-    from stark_tpu.utils.gather import BatchGather
+    # Single-device: the ENTIRE query phase (index draws, gathers, SHA
+    # absorption) runs as one device program + ONE fetch
+    # (channel/device_query.py).  Sharded/mesh proves keep the per-query
+    # batched-gather loop (one fetch per query).
+    import os as _os
 
     channel.mark_phase("queries")
     with mx.phase("queries", num_queries=cfg.num_queries):
-        arrays, slots = collect_query_arrays(
-            fri_proof.fri_layers,
-            fri_proof.fri_merkles,
-            extra_arrays=(f_evals, *trace_tree.levels[:-1]),
-        )
-        for _ in range(cfg.num_queries):
-            idx = channel.receive_random_int(0, M - max_off - 1, True)
-            bg = BatchGather(arrays, mesh=mesh)
-            plan = []
-            for off in offsets:
-                plan.append(("v", bg.want(slots[id(f_evals)], idx + off)))
-                plan.append(
-                    (
-                        "p",
-                        [
-                            bg.want(slots[id(trace_tree.levels[li])], row)
-                            for li, row in trace_tree.path_rows(idx + off)
-                        ],
-                    )
-                )
-            plan += plan_fri_query(
-                bg, slots, idx, fri_proof.fri_layers, fri_proof.fri_merkles
+        from stark_tpu.channel import device_query as _dq
+
+        fri_lengths = tuple(int(l.shape[0]) for l in fri_proof.fri_layers)
+        rng = M - max_off
+        if (
+            mesh is None
+            and not _os.environ.get("STARK_TPU_HOST_QUERIES")
+            and _dq.supported(rng, M, fri_lengths)
+        ):
+            _dq.get_plan(
+                rng, cfg.num_queries, tuple(offsets), M, fri_lengths
+            ).run(
+                channel,
+                f_evals,
+                trace_tree.levels[:-1],
+                fri_proof.fri_layers,
+                [t.levels[:-1] for t in fri_proof.fri_merkles],
             )
-            bg.run()
-            emit_plan(plan, bg, channel)
+        else:
+            from stark_tpu.fri.commit import (
+                collect_query_arrays, emit_plan, plan_fri_query)
+            from stark_tpu.utils.gather import BatchGather
+
+            arrays, slots = collect_query_arrays(
+                fri_proof.fri_layers,
+                fri_proof.fri_merkles,
+                extra_arrays=(f_evals, *trace_tree.levels[:-1]),
+            )
+            for _ in range(cfg.num_queries):
+                idx = channel.receive_random_int(0, M - max_off - 1, True)
+                bg = BatchGather(arrays, mesh=mesh)
+                plan = []
+                for off in offsets:
+                    plan.append(("v", bg.want(slots[id(f_evals)], idx + off)))
+                    plan.append(
+                        (
+                            "p",
+                            [
+                                bg.want(slots[id(trace_tree.levels[li])], row)
+                                for li, row in trace_tree.path_rows(idx + off)
+                            ],
+                        )
+                    )
+                plan += plan_fri_query(
+                    bg, slots, idx, fri_proof.fri_layers, fri_proof.fri_merkles
+                )
+                bg.run()
+                emit_plan(plan, bg, channel)
 
     proof_bytes = sum(len(m) for m in channel.proof)
     mx.count("proves")
