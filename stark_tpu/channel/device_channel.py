@@ -104,20 +104,29 @@ def advance(state):
 
 
 def state_mod(state, p: int):
-    """int(state_hex, 16) mod p as a canonical u32 scalar — the
-    receive_random_int value for min=0, range=p (channel.rs:69-72)."""
+    """int(state_hex, 16) mod p as a canonical field element — the
+    receive_random_int value for min=0, range=p (channel.rs:69-72).
+    Width-generic: a u32 scalar for p < 2^32, a (2,) limb pair for the
+    Goldilocks field."""
     f = Fp.get(p)
-    acc = jnp.zeros((), _U32)
-    r = _U32(f.r)  # 2^32 mod p
+    r = f.const((1 << 32) % p)  # 2^32 mod p
+    if f.width == 1:
+        acc = jnp.zeros((), _U32)
+        for i in range(8):
+            w = state[i] % _U32(p)  # reduce the raw u32 word
+            acc = f.add(f.mul(acc, r), w)
+        return acc
+    acc = f.const(0)
+    zero = jnp.zeros((), _U32)
     for i in range(8):
-        w = state[i] % _U32(p)  # reduce the raw u32 word
+        w = jnp.stack([zero, state[i]])  # raw word < 2^32 <= p: canonical
         acc = f.add(f.mul(acc, r), w)
     return acc
 
 
 def draw_field_element(state, p: int):
     """(value, new_state) of receive_random_field_element — value equals
-    the low 64 bits of state mod p (p < 2^32 so the u32 value is exact)."""
+    the low 64 bits of state mod p (exact for p <= 2^64)."""
     return state_mod(state, p), advance(state)
 
 
@@ -194,15 +203,19 @@ class DeviceFS:
             payloads = [rep(pl) for pl in payloads]
         fetched = jax.device_get(payloads)
         ex = fetched[len(self.log):]
+        from stark_tpu.fields.fp import Fp
+
+        f = Fp.get(self.p)
         for (kind, _), host_val in zip(self.log, fetched):
             if kind == "root":
                 root_hex = np.asarray(host_val).astype(">u4").tobytes().hex()
                 channel.send(root_hex.encode())
             else:
                 el = channel.receive_random_field_element()
-                if el.value != int(host_val):
+                dev_val = f.to_ints(np.asarray(host_val))[0]
+                if el.value != dev_val:
                     raise RuntimeError(
                         "device Fiat-Shamir diverged from host transcript "
-                        f"({int(host_val)} != {el.value})"
+                        f"({dev_val} != {el.value})"
                     )
         return ex

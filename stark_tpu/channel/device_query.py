@@ -158,9 +158,12 @@ class DeviceQueryPlan:
     """
 
     def __init__(self, rng: int, num_queries: int, offsets: tuple,
-                 trace_len: int | None, fri_lengths: tuple):
+                 trace_len: int | None, fri_lengths: tuple,
+                 elem_width: int = 1):
         if rng <= 0 or rng >= 1 << 32:
             raise ValueError(f"draw range {rng} not in [1, 2^32)")
+        if elem_width not in (1, 2):
+            raise ValueError(f"elem_width must be 1 or 2, got {elem_width}")
         for ln in (fri_lengths + ((trace_len,) if trace_len else ())):
             if ln & (ln - 1):
                 raise ValueError("device query phase needs power-of-two sizes")
@@ -168,6 +171,7 @@ class DeviceQueryPlan:
         self.num_queries = num_queries
         self.offsets = tuple(int(o) for o in offsets)
         self.trace_len = trace_len
+        self.elem_width = elem_width
         self.fri_lengths = tuple(int(x) for x in fri_lengths)
         self.script = build_script(len(self.offsets), self.fri_lengths)
         self._weights = jnp.asarray(_mod_weights(rng))
@@ -221,17 +225,20 @@ class DeviceQueryPlan:
                 src = op[1]
                 if op[0] == "value":
                     if src[0] == "trace_v":
-                        v = f_evals[idx + _U32(offsets[src[1]])]
+                        v = f_evals[..., idx + _U32(offsets[src[1]])]
                     elif src[0] == "fri_q":
-                        v = fri_layers[src[1]][0]
+                        v = fri_layers[src[1]][..., 0]
                     else:  # fri_v
                         l, which = src[1], src[2]
                         j = idx & _U32(self.fri_lengths[l] - 1)
                         if which:
                             j = j ^ _U32(half[l])
-                        v = fri_layers[l][j]
+                        v = fri_layers[l][..., j]
                     outs.append(v)
-                    hv = _hex_rows(jnp.stack([jnp.zeros((), _U32), v]))  # (4,)
+                    # 16 hex chars of the 8-byte BE value -> 4 packed words
+                    words = v if self.elem_width == 2 else jnp.stack(
+                        [jnp.zeros((), _U32), v])
+                    hv = _hex_rows(words)  # (4,)
                     rows.append(
                         jnp.concatenate([hv, jnp.asarray(_VALUE_TAIL)])[None])
                 else:  # path
@@ -290,7 +297,11 @@ class DeviceQueryPlan:
                 data = outs_h[cursor][q]
                 cursor += 1
                 if op[0] == "value":
-                    channel.send(int(data).to_bytes(8, "big"))
+                    if self.elem_width == 2:
+                        val = int(data[0]) << 32 | int(data[1])
+                    else:
+                        val = int(data)
+                    channel.send(val.to_bytes(8, "big"))
                 else:
                     channel.send(
                         np.ascontiguousarray(
@@ -306,8 +317,10 @@ class DeviceQueryPlan:
 
 @functools.lru_cache(maxsize=None)
 def get_plan(rng: int, num_queries: int, offsets: tuple,
-             trace_len: int | None, fri_lengths: tuple) -> DeviceQueryPlan:
-    return DeviceQueryPlan(rng, num_queries, offsets, trace_len, fri_lengths)
+             trace_len: int | None, fri_lengths: tuple,
+             elem_width: int = 1) -> DeviceQueryPlan:
+    return DeviceQueryPlan(rng, num_queries, offsets, trace_len, fri_lengths,
+                           elem_width)
 
 
 def supported(rng: int, trace_len: int | None, fri_lengths) -> bool:

@@ -52,7 +52,17 @@ def _mulhilo32(a, b):
 
 
 @functools.lru_cache(maxsize=None)
-def _get(modulus: int) -> "Fp":
+def _get(modulus: int):
+    p = int(modulus)
+    if p >= 1 << 32:
+        from stark_tpu.fields.fp64 import GOLDILOCKS, Fp64Goldilocks
+
+        if p == GOLDILOCKS:
+            return Fp64Goldilocks(p)
+        raise ValueError(
+            f"no device path for modulus {p} >= 2^32 (only the Goldilocks "
+            "prime 2^64 - 2^32 + 1 is supported above 32 bits); the scalar "
+            "FieldElement host mirror handles arbitrary moduli")
     return Fp(modulus)
 
 
@@ -79,6 +89,8 @@ class Fp:
 
     get = staticmethod(_get)
 
+    width = 1  # u32 limbs per element (the Goldilocks context has 2)
+
     # -- tiny helpers -----------------------------------------------------
     def _c(self, v: int):
         return _U32(v)
@@ -86,6 +98,20 @@ class Fp:
     def const(self, value: int):
         """A canonical scalar constant as a uint32 device scalar."""
         return _U32(value % self.p)
+
+    def const_mont(self, value: int):
+        """mont(value) as a device scalar (for width-generic plan code)."""
+        return _U32(int(value) % self.p * self.r % self.p)
+
+    def ones_mont(self, count: int):
+        """(count,) array of mont(1) — width-generic twiddle filler."""
+        return jnp.full((count,), _U32(self.r))
+
+    def to_ints(self, host_arr) -> "list[int]":
+        """Host array -> python ints (flattened) — width-generic."""
+        import numpy as np
+
+        return [int(v) for v in np.asarray(host_arr).reshape(-1)]
 
     def array(self, values) -> jax.Array:
         """Canonical uint32 device array from host ints (any magnitude)."""

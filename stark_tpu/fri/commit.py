@@ -47,13 +47,15 @@ def _fold_jit(p: int, m: int):
     """One FRI fold for layer size m: (evals[m], beta, inv_half_domain[m/2])
     -> evals[m/2]."""
     f = Fp.get(p)
-    inv2 = pow(2, p - 2, p)
+    inv2 = f.const(pow(2, p - 2, p))
+    if f.width > 1:
+        inv2 = inv2[:, None]
 
     def fold(evals, beta, inv_dom):
-        v = evals[: m // 2]
-        s = evals[m // 2 :]
+        v = evals[..., : m // 2]
+        s = evals[..., m // 2 :]
         odd = f.mul(f.mul(f.sub(v, s), inv_dom), beta)
-        return f.mul(f.add(f.add(v, s), odd), _U32(inv2))
+        return f.mul(f.add(f.add(v, s), odd), inv2)
 
     return jax.jit(fold)
 
@@ -139,9 +141,9 @@ def fri_commit(
         fs.absorb_root(tree.levels[-1][0])
 
     (final_vals,) = fs.finalize(channel, extras=[layers[-1]])
-    final_vals = np.asarray(final_vals)
-    final_value = int(final_vals[0])
-    if strict and not np.all(final_vals == final_vals[0]):
+    final_ints = Fp.get(p).to_ints(np.asarray(final_vals))
+    final_value = final_ints[0]
+    if strict and any(v != final_value for v in final_ints):
         raise ValueError(
             "FRI did not fold to a constant — codeword degree exceeds "
             "2^num_folds (proof would be rejected); pass strict=False to "
@@ -249,7 +251,9 @@ def decommit_fri(
 
     if not os.environ.get("STARK_TPU_HOST_QUERIES") and _dq.supported(
             rng, None, lengths):
-        _dq.get_plan(rng, num_queries, (), None, lengths).run(
+        width = Fp.get(int(channel.modulus)).width
+        _dq.get_plan(rng, num_queries, (), None, lengths,
+                     elem_width=width).run(
             channel, None, (), fri_layers,
             [t.levels[:-1] for t in fri_merkles])
         return

@@ -61,12 +61,16 @@ def _use_pallas_build(n: int, values=None) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_jit(n: int):
-    """Jitted tree build for a fixed leaf count: values (n,) uint32 ->
-    tuple of digest levels [(n,8), (ceil(n/2),8), ..., (1,8)]."""
+def _build_jit(n: int, wide: bool = False):
+    """Jitted tree build for a fixed leaf count: values (n,) uint32 (or
+    (2, n) limb pairs for 64-bit fields, fields/fp64.py) -> tuple of
+    digest levels [(n,8), (ceil(n/2),8), ..., (1,8)]."""
 
     def build(values):
-        hi = jnp.zeros_like(values)  # field values < 2^32 -> high word 0
+        if wide:
+            hi, values = values[0], values[1]
+        else:
+            hi = jnp.zeros_like(values)  # field values < 2^32 -> high word 0
         level = sha256_u64_leaves(hi, values)
         levels = [level]
         size = n
@@ -95,15 +99,18 @@ class MerkleTree:
             self.levels = device_levels
         else:
             values = jnp.asarray(values, dtype=_U32)
-            if values.ndim != 1 or values.shape[0] == 0:
-                raise ValueError("MerkleTree needs a non-empty 1-D vector")
-            n = int(values.shape[0])
-            if _use_pallas_build(n, values):
+            wide = values.ndim == 2 and values.shape[0] == 2
+            if not wide and (values.ndim != 1 or values.shape[0] == 0):
+                raise ValueError(
+                    "MerkleTree needs a non-empty 1-D vector (or a (2, n) "
+                    "limb-pair array for 64-bit fields)")
+            n = int(values.shape[-1])
+            if not wide and _use_pallas_build(n, values):
                 from stark_tpu.hash.pallas_sha import build_jit_pallas
 
                 self.levels = build_jit_pallas(n)(values)
             else:
-                self.levels = _build_jit(n)(values)
+                self.levels = _build_jit(n, wide)(values)
         self._host_levels: list[np.ndarray] | None = None
 
     @property

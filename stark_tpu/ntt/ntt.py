@@ -37,10 +37,13 @@ def get_plan(p: int, n: int, inverse: bool = False):
     """Best single-device plan for the size: the 1-D Stockham plan for
     small n, a placement-dispatching plan for large n (Pallas fused
     kernels when the operand lives on a TPU, the XLA four-step
-    otherwise) — bit-identical outputs every way."""
+    otherwise) — bit-identical outputs every way.
+
+    Two-limb fields (Goldilocks, fields/fp64.py) always use the Stockham
+    plan — the four-step/Pallas fast paths are u32-specialized so far."""
     from stark_tpu.ntt.fourstep import FOURSTEP_MIN
 
-    if n >= FOURSTEP_MIN:
+    if n >= FOURSTEP_MIN and Fp.get(p).width == 1:
         return _AutoPlan(p, n, inverse)
     return NTTPlan(p, n, inverse)
 
@@ -95,17 +98,22 @@ def get_stockham_plan(p: int, n: int, inverse: bool = False) -> "NTTPlan":
 
 
 def stockham_stages(fp: Fp, n: int, xm, twiddles):
-    """All butterfly stages along the LAST axis; leading axes batch.
+    """All butterfly stages along the LAST axis; leading axes batch
+    (for two-limb fields the leading limb plane rides along as batch).
     Montgomery domain in/out, natural order (Stockham autosort)."""
     batch = xm.shape[:-1]
+    wide = getattr(fp, "width", 1) > 1
     l, m = n, 1
     for t in twiddles:
         lh = l // 2
         v = xm.reshape(batch + (l, m))
         a, b = v[..., :lh, :], v[..., lh:, :]
         top = fp.add(a, b)
-        bot = fp.mont_mul(t[:, None], fp.sub(a, b))
+        bot = fp.mont_mul(t[..., :, None], fp.sub(a, b))
         xm = jnp.stack([top, bot], axis=-2).reshape(batch + (n,))
+        if wide:
+            # break the LLVM-visible op chain per stage (see fp64.py)
+            xm = fp.chain_break(xm)
         l, m = lh, 2 * m
     return xm
 
@@ -121,9 +129,7 @@ def _stage_twiddles(p: int, n: int, w: int) -> tuple:
         while l > 1:
             lh = l // 2
             wl = pow(w, n // l, p)
-            t = f.to_mont(f.powers(wl, lh)) if lh > 1 else jnp.full(
-                (1,), _U32(f.r)
-            )
+            t = f.to_mont(f.powers(wl, lh)) if lh > 1 else f.ones_mont(1)
             out.append(t)
             l = lh
         return tuple(out)
@@ -152,7 +158,7 @@ class NTTPlan:
         # Built in ONE jit call — per-stage dispatches cost ~0.5 s each of
         # round-trip latency on the tunneled TPU.
         self._twiddles = _stage_twiddles(p, n, w)
-        self._ninv_mont = _U32(pow(n, p - 2, p) * self.fp.r % p)  # mont(n^-1)
+        self._ninv_mont = self.fp.const_mont(pow(n, p - 2, p))  # mont(n^-1)
         self._jit = jax.jit(self._transform)
 
     # -- core -------------------------------------------------------------

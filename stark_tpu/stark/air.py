@@ -64,11 +64,24 @@ class AIR:
 
 
 def _alphas_arr(alphas, p: int):
-    """Challenge tuple -> (k,) u32 device array; accepts host ints or the
-    device scalars a DeviceFS draw produces."""
-    if isinstance(alphas[0], (int, np.integer)):
-        return jnp.asarray([int(a) % p for a in alphas], dtype=_U32)
-    return jnp.stack(list(alphas))
+    """Challenge tuple -> tuple of device field elements; accepts host
+    ints or the device scalars a DeviceFS draw produces ((2,) limb pairs
+    for 64-bit fields)."""
+    f = Fp.get(p)
+    return tuple(
+        f.const(int(a)) if isinstance(a, (int, np.integer)) else a
+        for a in alphas
+    )
+
+
+def _elem_int(trace, i: int) -> int:
+    """Host int of trace element i (one tiny fetch), width-generic: the
+    lane axis is last; a leading (2,) limb plane may precede it."""
+    sl = trace[..., i : i + 1] if i >= 0 else trace[..., i:]
+    vals = np.asarray(sl).astype(np.uint64).reshape(-1)
+    if trace.ndim == 2:
+        return int(vals[0]) << 32 | int(vals[1])
+    return int(vals[0])
 
 
 class _BaseContext:
@@ -87,10 +100,15 @@ class _BaseContext:
         self.w = root_of_unity(p, self.M)
         self.domain = f.jit_coset_domain(cfg.offset, self.w, self.M)
 
+    def _bc(self, value: int):
+        """Broadcastable canonical constant (scalar, or (2, 1) pair)."""
+        c = self.fp.const(value)
+        return c[:, None] if self.fp.width > 1 else c
+
     def boundary_inv(self, point: int):
         """1 / (x - point) on the LDE domain."""
         f = self.fp
-        return jax.jit(lambda d: f.inv(f.sub(d, _U32(point % f.p))))(self.domain)
+        return jax.jit(lambda d: f.inv(f.sub(d, self._bc(point))))(self.domain)
 
     def zerofier_inv_excluding(self, excluded: tuple[int, ...]):
         """prod(x - e for e in excluded) / (x^N - 1) on the LDE domain —
@@ -101,9 +119,9 @@ class _BaseContext:
         @jax.jit
         def build(domain):
             xn = f.pow_static(domain, N)
-            mult = f.inv(f.sub(xn, _U32(1)))
+            mult = f.inv(f.sub(xn, self._bc(1)))
             for e in excluded:
-                mult = f.mul(mult, f.sub(domain, _U32(e % f.p)))
+                mult = f.mul(mult, f.sub(domain, self._bc(e)))
             return mult
 
         return build(self.domain)
@@ -131,8 +149,8 @@ class FibonacciSquareAIR(AIR):
 
     def publics(self, trace) -> dict:
         return {
-            "a0": int(np.asarray(trace[:1])[0]),
-            "a_last": int(np.asarray(trace[-1:])[0]),
+            "a0": _elem_int(trace, 0),
+            "a_last": _elem_int(trace, -1),
         }
 
     def num_folds(self, cfg: ProverConfig) -> int:
@@ -162,8 +180,8 @@ class _FibContext(_BaseContext):
         f = self.fp
         b = self.cfg.blowup
         f_x = lde
-        f_gx = jnp.roll(lde, -b)
-        f_g2x = jnp.roll(lde, -2 * b)
+        f_gx = jnp.roll(lde, -b, axis=-1)
+        f_g2x = jnp.roll(lde, -2 * b, axis=-1)
         p0 = f.mul(f.sub(f_x, a0), inv_b0)
         p1 = f.mul(f.sub(f_x, a_last), inv_b1)
         num = f.sub(f.sub(f_g2x, f.mul(f_gx, f_gx)), f.mul(f_x, f_x))
@@ -179,8 +197,8 @@ class _FibContext(_BaseContext):
 
     def compose(self, lde, alphas, publics: dict):
         return self._jit(lde, _alphas_arr(alphas, self.fp.p),
-                         _U32(publics["a0"] % self.fp.p),
-                         _U32(publics["a_last"] % self.fp.p),
+                         self._bc(publics["a0"]),
+                         self._bc(publics["a_last"]),
                          self.inv_b0, self.inv_b1, self.trans_mult)
 
     def cp_at(self, x: int, opened: list[int], alphas, publics: dict) -> int:
@@ -223,14 +241,16 @@ class MimcAIR(AIR):
             raise ValueError("MimcAIR needs blowup >= 4 (CP degree < 2N)")
 
     def build_trace(self, cfg: ProverConfig):
+        from stark_tpu.fields.fp import Fp
+
         return _mimc_trace_jit(cfg.modulus, cfg.trace_length, self.k)(
-            _U32(self.x0 % cfg.modulus)
+            Fp.get(cfg.modulus).const(self.x0)
         )
 
     def publics(self, trace) -> dict:
         return {
-            "input": int(np.asarray(trace[:1])[0]),
-            "output": int(np.asarray(trace[-1:])[0]),
+            "input": _elem_int(trace, 0),
+            "output": _elem_int(trace, -1),
             "k": self.k,
         }
 
@@ -245,13 +265,15 @@ class MimcAIR(AIR):
 def _mimc_trace_jit(p: int, length: int, k: int):
     f = Fp.get(p)
 
+    kc = f.const(k)
+
     def gen(x0):
         def step(x, _):
-            t = f.add(x, _U32(k % p))
+            t = f.add(x, kc)
             return f.mul(f.mul(t, t), t), x
 
         _, out = jax.lax.scan(step, x0, None, length=length)
-        return out
+        return out.T if f.width > 1 else out
 
     return jax.jit(gen)
 
@@ -275,10 +297,10 @@ class _MimcContext(_BaseContext):
         f = self.fp
         b = self.cfg.blowup
         f_x = lde
-        f_gx = jnp.roll(lde, -b)
+        f_gx = jnp.roll(lde, -b, axis=-1)
         p0 = f.mul(f.sub(f_x, x0), inv_b0)
         p1 = f.mul(f.sub(f_x, x_out), inv_b1)
-        t = f.add(f_x, _U32(self.k % f.p))
+        t = f.add(f_x, self._bc(self.k))
         cube = f.mul(f.mul(t, t), t)
         num = f.sub(f_gx, cube)
         p2 = f.mul(num, trans_mult)
@@ -293,8 +315,8 @@ class _MimcContext(_BaseContext):
 
     def compose(self, lde, alphas, publics: dict):
         return self._jit(lde, _alphas_arr(alphas, self.fp.p),
-                         _U32(publics["input"] % self.fp.p),
-                         _U32(publics["output"] % self.fp.p),
+                         self._bc(publics["input"]),
+                         self._bc(publics["output"]),
                          self.inv_b0, self.inv_b1, self.trans_mult)
 
     def cp_at(self, x: int, opened: list[int], alphas, publics: dict) -> int:

@@ -212,15 +212,18 @@ def prove(
     with mx.phase("queries", num_queries=cfg.num_queries):
         from stark_tpu.channel import device_query as _dq
 
-        fri_lengths = tuple(int(l.shape[0]) for l in fri_proof.fri_layers)
+        fri_lengths = tuple(int(l.shape[-1]) for l in fri_proof.fri_layers)
         rng = M - max_off
         if (
             mesh is None
             and not _os.environ.get("STARK_TPU_HOST_QUERIES")
             and _dq.supported(rng, M, fri_lengths)
         ):
+            from stark_tpu.fields.fp import Fp as _Fp
+
             _dq.get_plan(
-                rng, cfg.num_queries, tuple(offsets), M, fri_lengths
+                rng, cfg.num_queries, tuple(offsets), M, fri_lengths,
+                elem_width=_Fp.get(p).width,
             ).run(
                 channel,
                 f_evals,

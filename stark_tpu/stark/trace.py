@@ -35,6 +35,7 @@ _U32 = jnp.uint32
 @functools.lru_cache(maxsize=None)
 def _trace_jit(p: int, length: int):
     f = Fp.get(p)
+    wide = f.width > 1
 
     def gen(a0, a1):
         def step(carry, _):
@@ -42,18 +43,19 @@ def _trace_jit(p: int, length: int):
             nxt = f.add(f.mul(x, x), f.mul(y, y))
             return (y, nxt), x
 
-        (_, _), out = jax.lax.scan(
-            step, (a0.astype(_U32), a1.astype(_U32)), None, length=length
-        )
-        return out
+        (_, _), out = jax.lax.scan(step, (a0, a1), None, length=length)
+        # scan stacks along axis 0; wide elements come out (length, 2)
+        return out.T if wide else out
 
     return jax.jit(gen)
 
 
 def fibonacci_square_trace(p: int, length: int, a0: int = 1, a1: int = 3141592):
     """(length,) device trace of the Fibonacci-square AIR (lax.scan —
-    the recurrence is sequential but each step is O(1) field ops)."""
-    return _trace_jit(p, length)(_U32(a0 % p), _U32(a1 % p))
+    the recurrence is sequential but each step is O(1) field ops); a
+    (2, length) limb-pair array for 64-bit fields."""
+    f = Fp.get(p)
+    return _trace_jit(p, length)(f.const(a0), f.const(a1))
 
 
 @functools.lru_cache(maxsize=None)
@@ -66,10 +68,13 @@ def _trace_poly_jit(p: int, n: int):
     corr = None  # built lazily inside jit via powers
 
     def run(trace):
-        padded = jnp.zeros((n,), _U32).at[: n - 1].set(trace)
+        shape = (2, n) if f.width > 1 else (n,)
+        padded = jnp.zeros(shape, _U32).at[..., : n - 1].set(trace)
         coeffs0 = plan_i(padded)
-        tail = coeffs0[n - 1]
-        gp = f.mul(f.powers(g, n), _U32(g))  # g^{i+1}
+        tail = coeffs0[..., n - 1]
+        if f.width > 1:
+            tail = tail[:, None]
+        gp = f.mul(f.powers(g, n), f.const(g))  # g^{i+1}
         return f.sub(coeffs0, f.mul(gp, tail))
 
     return jax.jit(run)
