@@ -35,17 +35,23 @@ FOURSTEP_MIN = 1 << 14
 
 def stages_axis0(fp: Fp, xm, twiddles, length: int):
     """All Stockham butterfly stages along axis -2 of (..., length, C),
-    Montgomery domain.  `twiddles`: per-stage mont arrays [(lh,), ...]."""
+    Montgomery domain.  `twiddles`: per-stage mont arrays [(lh,), ...]
+    (or [(2, lh), ...] for two-limb fields, whose limb plane leads and
+    rides through the batch dims, fields/fp64.py)."""
     batch = xm.shape[:-2]
     c = xm.shape[-1]
+    wide = getattr(fp, "width", 1) > 1
     l, m = length, 1
     for t in twiddles:
         lh = l // 2
         v = xm.reshape(batch + (l, m, c))
         a, b = v[..., :lh, :, :], v[..., lh:, :, :]
         top = fp.add(a, b)
-        bot = fp.mont_mul(t[:, None, None], fp.sub(a, b))
+        bot = fp.mont_mul(t[..., :, None, None], fp.sub(a, b))
         xm = jnp.stack([top, bot], axis=-3).reshape(batch + (lh * 2 * m, c))
+        if wide:
+            # break the LLVM-visible op chain per stage (see fp64.py)
+            xm = fp.chain_break(xm)
         l, m = lh, 2 * m
     return xm
 
@@ -79,7 +85,7 @@ class FourStepPlan:
         self._tws1 = _stage_twiddles(p, self.n1, pow(w, self.n2, p))
         self._tws2 = _stage_twiddles(p, self.n2, pow(w, self.n1, p))
         self._table = _twiddle_table(p, self.n1, self.n2, w)
-        self._ninv_mont = _U32(pow(n, p - 2, p) * f.r % p)
+        self._ninv_mont = f.const_mont(pow(n, p - 2, p))
         self._jit = jax.jit(self._transform)
 
     def _core(self, xm, table, tws1, tws2):

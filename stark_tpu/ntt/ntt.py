@@ -39,12 +39,15 @@ def get_plan(p: int, n: int, inverse: bool = False):
     kernels when the operand lives on a TPU, the XLA four-step
     otherwise) — bit-identical outputs every way.
 
-    Two-limb fields (Goldilocks, fields/fp64.py) always use the Stockham
-    plan — the four-step/Pallas fast paths are u32-specialized so far."""
-    from stark_tpu.ntt.fourstep import FOURSTEP_MIN
+    Two-limb fields (Goldilocks, fields/fp64.py) take the width-generic
+    XLA four-step at large sizes (stages_axis0 rides the limb plane as a
+    leading batch dim); only the Pallas fused path stays u32-only."""
+    from stark_tpu.ntt.fourstep import FOURSTEP_MIN, get_fourstep_plan
 
-    if n >= FOURSTEP_MIN and Fp.get(p).width == 1:
-        return _AutoPlan(p, n, inverse)
+    if n >= FOURSTEP_MIN:
+        if Fp.get(p).width == 1:
+            return _AutoPlan(p, n, inverse)
+        return get_fourstep_plan(p, n, inverse)
     return NTTPlan(p, n, inverse)
 
 

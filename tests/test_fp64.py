@@ -85,6 +85,30 @@ def test_ntt_roundtrip_and_dft(f):
     assert back == xs
 
 
+def test_fourstep_matches_stockham_wide(f):
+    """Width-generic XLA four-step (ntt/fourstep.py) == the 1-D Stockham
+    plan for the Goldilocks limb-pair representation (VERDICT r1 next-step
+    1's plan family, extended to width 2)."""
+    from stark_tpu.ntt.fourstep import FourStepPlan
+    from stark_tpu.ntt.ntt import NTTPlan
+
+    n = 256
+    a = f.array(_rand_ints(n, seed=11))
+    for inverse in (False, True):
+        ref = NTTPlan(P, n, inverse)(a)
+        got = FourStepPlan(P, n, inverse)(a)
+        assert got.shape == (2, n)
+        assert jnp.array_equal(ref, got)
+
+
+def test_get_plan_dispatches_wide_fourstep():
+    from stark_tpu.ntt.fourstep import FOURSTEP_MIN, FourStepPlan
+    from stark_tpu.ntt.ntt import get_plan
+
+    plan = get_plan(P, FOURSTEP_MIN, False)
+    assert isinstance(plan, FourStepPlan)
+
+
 def test_wide_merkle_matches_host_oracle(f):
     from stark_tpu.merkle.tree import MerkleTree, merkle_root_host
 
