@@ -194,7 +194,9 @@ class DeviceQueryPlan:
                 msg(h, _pad_row(64 + 64 * h))
         self._first = jnp.asarray(np.array(first_f))
         self._last = jnp.asarray(np.array(last_f))
-        self._jit = jax.jit(self._run)
+        self._flags = jnp.asarray(
+            np.stack([first_f, last_f], axis=1).astype(np.uint32))
+        self._jit_cache: dict = {}
 
     def _height(self, src) -> int:
         if src[0] == "trace_p":
@@ -209,7 +211,13 @@ class DeviceQueryPlan:
         rows = [levels[li][(j >> _U32(li)) ^ _U32(1)] for li in range(h)]
         return jnp.stack(rows)
 
-    def _run(self, state, f_evals, trace_levels, fri_layers, fri_levels):
+    def _run(self, state, f_evals, trace_levels, fri_layers, fri_levels,
+             mode: int = 0):
+        """mode: 0 = XLA block scan, 1 = Pallas chain kernel (TPU),
+        2 = Pallas interpret (CI).  The SHA chain is strictly sequential
+        (~500 blocks/query); the Pallas kernel runs it VMEM-resident at
+        ~2-3 us/block where the XLA scan pays ~235 us/block in carry
+        round-trips (hash/pallas_chain.py)."""
         offsets = self.offsets
         half = [ln // 2 for ln in self.fri_lengths]
 
@@ -259,12 +267,18 @@ class DeviceQueryPlan:
                         rows.append(_hex_rows(digs))
                     rows.append(jnp.asarray(_pad_row(64 + 64 * h))[None])
             stream = jnp.concatenate(rows, axis=0)
-            (sha, chain2), _ = jax.lax.scan(
-                _block_step,
-                (jnp.zeros(8, _U32), chain),
-                (stream, self._first, self._last),
-            )
-            del sha
+            if mode:
+                from stark_tpu.hash.pallas_chain import sha_chain
+
+                chain2 = sha_chain(stream, self._flags, chain,
+                                   interpret=(mode == 2))
+            else:
+                (sha, chain2), _ = jax.lax.scan(
+                    _block_step,
+                    (jnp.zeros(8, _U32), chain),
+                    (stream, self._first, self._last),
+                )
+                del sha
             return chain2, (idx, tuple(outs))
 
         final_state, per_query = jax.lax.scan(
@@ -272,13 +286,31 @@ class DeviceQueryPlan:
         return final_state, per_query
 
     # -- host driver -------------------------------------------------------
-    def run(self, channel, f_evals, trace_levels, fri_layers, fri_levels):
+    def _mode(self, f_evals) -> int:
+        import os
+
+        if os.environ.get("STARK_TPU_XLA_CHAIN"):
+            return 0
+        try:
+            on_tpu = next(iter(f_evals.devices())).platform == "tpu"
+        except Exception:
+            on_tpu = False
+        return 1 if on_tpu else 0
+
+    def run(self, channel, f_evals, trace_levels, fri_layers, fri_levels,
+            mode: int | None = None):
         """Execute on device, fetch once, replay the canonical transcript
         into `channel`, asserting the device chain matches."""
         state = jnp.asarray(
             np.frombuffer(bytes.fromhex(channel.state), dtype=">u4").astype(
                 np.uint32))
-        final_state, (idxs, outs) = self._jit(
+        if mode is None:
+            mode = self._mode(f_evals)
+        fn = self._jit_cache.get(mode)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._run, mode=mode))
+            self._jit_cache[mode] = fn
+        final_state, (idxs, outs) = fn(
             state, f_evals, tuple(trace_levels),
             tuple(fri_layers), tuple(tuple(l) for l in fri_levels))
         fetched = jax.device_get((final_state, idxs, outs))

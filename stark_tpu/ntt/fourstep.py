@@ -37,22 +37,62 @@ def stages_axis0(fp: Fp, xm, twiddles, length: int):
     """All Stockham butterfly stages along axis -2 of (..., length, C),
     Montgomery domain.  `twiddles`: per-stage mont arrays [(lh,), ...]
     (or [(2, lh), ...] for two-limb fields, whose limb plane leads and
-    rides through the batch dims, fields/fp64.py)."""
+    rides through the batch dims, fields/fp64.py).
+
+    Consecutive stage pairs run as ONE radix-4 butterfly (SURVEY §7.2.3):
+    XLA materializes each stage's interleave in HBM, so fusing two
+    radix-2 stages into one pass halves the dominant cost (per-stage HBM
+    traffic) at the same multiply count.  Output is bit-identical to the
+    radix-2 sequence (the radix-4 form below is the exact algebraic
+    composition of two radix-2 stages; twiddle identities w_lh = w_l^2,
+    J = w_l^(l/4))."""
     batch = xm.shape[:-2]
     c = xm.shape[-1]
     wide = getattr(fp, "width", 1) > 1
     l, m = length, 1
-    for t in twiddles:
-        lh = l // 2
-        v = xm.reshape(batch + (l, m, c))
-        a, b = v[..., :lh, :, :], v[..., lh:, :, :]
-        top = fp.add(a, b)
-        bot = fp.mont_mul(t[..., :, None, None], fp.sub(a, b))
-        xm = jnp.stack([top, bot], axis=-3).reshape(batch + (lh * 2 * m, c))
+    i = 0
+    while i < len(twiddles):
+        if l >= 4 and i + 1 < len(twiddles):
+            t_l, t_lh = twiddles[i], twiddles[i + 1]
+            i += 2
+            lq = l // 4
+            v = xm.reshape(batch + (l, m, c))
+            q0 = v[..., :lq, :, :]
+            q1 = v[..., lq : 2 * lq, :, :]
+            q2 = v[..., 2 * lq : 3 * lq, :, :]
+            q3 = v[..., 3 * lq :, :, :]
+            s02, d02 = fp.add(q0, q2), fp.sub(q0, q2)
+            s13, d13 = fp.add(q1, q3), fp.sub(q1, q3)
+            jj = t_l[..., lq : lq + 1]  # J = w_l^(l/4) (mont)
+            jd13 = fp.mont_mul(jj[..., :, None, None], d13)
+            w1 = t_l[..., :lq, None, None]
+            w2 = t_lh[..., :lq, None, None]
+            w3 = fp.mont_mul(w1, w2)
+            y00 = fp.add(s02, s13)
+            y01 = fp.mont_mul(w1, fp.add(d02, jd13))
+            y10 = fp.mont_mul(w2, fp.sub(s02, s13))
+            y11 = fp.mont_mul(w3, fp.sub(d02, jd13))
+            # (lq, i1, i0, m, c): i1 = second stage's interleave bit,
+            # i0 = first stage's — identical layout to two radix-2 passes
+            top = jnp.stack([y00, y01], axis=-3)
+            bot = jnp.stack([y10, y11], axis=-3)
+            xm = jnp.stack([top, bot], axis=-4).reshape(
+                batch + (lq * 4 * m, c))
+            l, m = lq, 4 * m
+        else:
+            t = twiddles[i]
+            i += 1
+            lh = l // 2
+            v = xm.reshape(batch + (l, m, c))
+            a, b = v[..., :lh, :, :], v[..., lh:, :, :]
+            top = fp.add(a, b)
+            bot = fp.mont_mul(t[..., :, None, None], fp.sub(a, b))
+            xm = jnp.stack([top, bot], axis=-3).reshape(
+                batch + (lh * 2 * m, c))
+            l, m = lh, 2 * m
         if wide:
             # break the LLVM-visible op chain per stage (see fp64.py)
             xm = fp.chain_break(xm)
-        l, m = lh, 2 * m
     return xm
 
 

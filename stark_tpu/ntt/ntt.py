@@ -103,21 +103,53 @@ def get_stockham_plan(p: int, n: int, inverse: bool = False) -> "NTTPlan":
 def stockham_stages(fp: Fp, n: int, xm, twiddles):
     """All butterfly stages along the LAST axis; leading axes batch
     (for two-limb fields the leading limb plane rides along as batch).
-    Montgomery domain in/out, natural order (Stockham autosort)."""
+    Montgomery domain in/out, natural order (Stockham autosort).
+
+    Stage pairs run as one radix-4 butterfly (same fusion and exact
+    bit-identity argument as fourstep.stages_axis0 — one HBM pass where
+    XLA would materialize two)."""
     batch = xm.shape[:-1]
     wide = getattr(fp, "width", 1) > 1
     l, m = n, 1
-    for t in twiddles:
-        lh = l // 2
-        v = xm.reshape(batch + (l, m))
-        a, b = v[..., :lh, :], v[..., lh:, :]
-        top = fp.add(a, b)
-        bot = fp.mont_mul(t[..., :, None], fp.sub(a, b))
-        xm = jnp.stack([top, bot], axis=-2).reshape(batch + (n,))
+    i = 0
+    while i < len(twiddles):
+        if l >= 4 and i + 1 < len(twiddles):
+            t_l, t_lh = twiddles[i], twiddles[i + 1]
+            i += 2
+            lq = l // 4
+            v = xm.reshape(batch + (l, m))
+            q0 = v[..., :lq, :]
+            q1 = v[..., lq : 2 * lq, :]
+            q2 = v[..., 2 * lq : 3 * lq, :]
+            q3 = v[..., 3 * lq :, :]
+            s02, d02 = fp.add(q0, q2), fp.sub(q0, q2)
+            s13, d13 = fp.add(q1, q3), fp.sub(q1, q3)
+            jj = t_l[..., lq : lq + 1]  # J = w_l^(l/4) (mont)
+            jd13 = fp.mont_mul(jj[..., :, None], d13)
+            w1 = t_l[..., :lq, None]
+            w2 = t_lh[..., :lq, None]
+            w3 = fp.mont_mul(w1, w2)
+            y00 = fp.add(s02, s13)
+            y01 = fp.mont_mul(w1, fp.add(d02, jd13))
+            y10 = fp.mont_mul(w2, fp.sub(s02, s13))
+            y11 = fp.mont_mul(w3, fp.sub(d02, jd13))
+            top = jnp.stack([y00, y01], axis=-2)
+            bot = jnp.stack([y10, y11], axis=-2)
+            xm = jnp.stack([top, bot], axis=-3).reshape(batch + (n,))
+            l, m = lq, 4 * m
+        else:
+            t = twiddles[i]
+            i += 1
+            lh = l // 2
+            v = xm.reshape(batch + (l, m))
+            a, b = v[..., :lh, :], v[..., lh:, :]
+            top = fp.add(a, b)
+            bot = fp.mont_mul(t[..., :, None], fp.sub(a, b))
+            xm = jnp.stack([top, bot], axis=-2).reshape(batch + (n,))
+            l, m = lh, 2 * m
         if wide:
             # break the LLVM-visible op chain per stage (see fp64.py)
             xm = fp.chain_break(xm)
-        l, m = lh, 2 * m
     return xm
 
 

@@ -92,14 +92,18 @@ def test_divergence_detection():
     """A corrupted device index is caught by the host replay."""
     cfg = _cfg()
     plan = dq.get_plan(100, 2, (0,), 16, (16, 8))
-    real_run = plan._jit
+    import functools
+
+    import jax
+
+    real_run = jax.jit(functools.partial(plan._run, mode=0))
 
     class Fake:
         def __call__(self, *a, **k):
             final, (idxs, outs) = real_run(*a, **k)
             return final, (idxs + jnp.uint32(1), outs)
 
-    plan._jit = Fake()
+    plan._jit_cache[0] = Fake()
     try:
         ch = Channel(cfg.modulus)
         ch.send(b"seed")
@@ -113,7 +117,7 @@ def test_divergence_detection():
             plan.run(ch, f_evals, t0.levels[:-1], [f_evals, l1],
                      [t0.levels[:-1], t1.levels[:-1]])
     finally:
-        plan._jit = real_run
+        plan._jit_cache.pop(0, None)
         dq.get_plan.cache_clear()
 
 

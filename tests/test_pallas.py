@@ -83,6 +83,60 @@ class TestPallasSHATree:
         assert root == merkle_root_host(values.tolist())
 
 
+class TestPallasSHAChain:
+    def test_chain_bit_identical_to_scan(self):
+        """The sequential Fiat-Shamir chain kernel (hash/pallas_chain.py,
+        the TPU query-phase path) vs the XLA _block_step scan."""
+        from stark_tpu.channel.device_query import _block_step
+        from stark_tpu.hash.pallas_chain import sha_chain
+
+        rs = np.random.RandomState(42)
+        # 5 messages of 1..4 blocks each, interleaved flags
+        first, last, n_rows = [], [], 0
+        for blocks in (1, 3, 2, 4, 1):
+            first += [True] + [False] * (blocks - 1)
+            last += [False] * (blocks - 1) + [True]
+            n_rows += blocks
+        stream = jnp.asarray(
+            rs.randint(0, 1 << 32, size=(n_rows, 16), dtype=np.uint64)
+            .astype(np.uint32))
+        chain0 = jnp.asarray(
+            rs.randint(0, 1 << 32, size=8, dtype=np.uint64).astype(np.uint32))
+        flags = jnp.asarray(
+            np.stack([first, last], axis=1).astype(np.uint32))
+        (_, want), _ = jax.lax.scan(
+            _block_step,
+            (jnp.zeros(8, jnp.uint32), chain0),
+            (stream, jnp.asarray(np.array(first)),
+             jnp.asarray(np.array(last))),
+        )
+        got = sha_chain(stream, flags, chain0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_device_query_mode2_matches_mode0(self):
+        """Full query-phase program with the Pallas chain (interpret)
+        vs the XLA scan — same indices, openings, and final state."""
+        import functools
+
+        from stark_tpu.channel import device_query as dq
+        from stark_tpu.merkle.tree import MerkleTree
+
+        plan = dq.get_plan(100, 2, (0,), 16, (16,))
+        f_evals = jnp.asarray(_rand(16, salt=21))
+        t0 = MerkleTree(f_evals)
+        t1 = MerkleTree(f_evals)
+        state = jnp.asarray(_rand(8, salt=22))
+        args = (state, f_evals, tuple(t0.levels[:-1]),
+                (f_evals,), (tuple(t1.levels[:-1]),))
+        want = jax.device_get(
+            jax.jit(functools.partial(plan._run, mode=0))(*args))
+        got = jax.device_get(
+            jax.jit(functools.partial(plan._run, mode=2))(*args))
+        for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+            np.testing.assert_array_equal(g, w)
+        dq.get_plan.cache_clear()
+
+
 class TestPallasFieldKernels:
     def test_mul_matches_fp(self):
         from stark_tpu.fields.pallas_kernels import mul_pallas
