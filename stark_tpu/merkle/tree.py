@@ -34,10 +34,14 @@ _U32 = jnp.uint32
 
 
 # Pallas tree build: 3x faster than the XLA scan path on TPU (measured
-# 15.4ms vs 46.5ms at 2^20 leaves, bit-identical).  Used automatically on
-# the tpu backend for power-of-two sizes >= 2^16 (smaller levels are
-# cheap and not worth a Mosaic compile); opt out with STARK_TPU_NO_PALLAS.
-_PALLAS_MIN_LEAVES = 1 << 16
+# 15.4ms vs 46.5ms at 2^20 leaves, bit-identical).  Threshold 2^20: the
+# per-level Mosaic kernels compile per PROCESS (~40 s at 2^17 — the
+# persistent XLA cache does not cover Mosaic on this backend, measured
+# r2), while the XLA scan tree reloads from cache in ~3 s and its warm
+# cost below 2^20 is a few ms — so smaller trees ride XLA and the
+# Mosaic compile is only paid where it wins real time.  Opt out with
+# STARK_TPU_NO_PALLAS.
+_PALLAS_MIN_LEAVES = 1 << 20
 
 
 def _use_pallas_build(n: int, values=None) -> bool:
@@ -60,11 +64,40 @@ def _use_pallas_build(n: int, values=None) -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Power-of-two trees collapse every level of <= _TAIL_SIZE nodes into ONE
+# lax.scan over levels (fixed 512-pair width, valid prefixes sliced
+# in-jit).  Levels above hash exactly their size.  This exists purely for
+# compile time: one scan-SHA instance replaces log2(_TAIL_SIZE) per tree,
+# and a STARK prove builds one tree per FRI layer (the r1 cold-compile
+# cliff, VERDICT #3).  The masked waste is < 2^12 hashes per tree (~0.1 ms).
+_TAIL_SIZE = 1 << 10
+
+
+def _tail_scan(level, k: int):
+    """All levels below a (2^k, 8) digest level (k <= log2(_TAIL_SIZE)),
+    via one scan: returns [(2^(k-1), 8), ..., (1, 8)].  `level` may be
+    wider than 2^k rows; only the first 2^k are meaningful."""
+    t = _TAIL_SIZE
+    pad = t - int(level.shape[0])
+    if pad > 0:
+        level = jnp.concatenate([level, jnp.zeros((pad, 8), _U32)], axis=0)
+    elif pad < 0:
+        level = level[:t]
+
+    def step(buf, _):
+        parents = sha256_pairs(buf[0::2], buf[1::2])  # (t/2, 8)
+        return jnp.concatenate([parents, parents], axis=0), parents
+
+    _, stacked = jax.lax.scan(step, level, None, length=k)
+    return [stacked[i, : 1 << (k - 1 - i)] for i in range(k)]
+
+
 @functools.lru_cache(maxsize=None)
 def _build_jit(n: int, wide: bool = False):
     """Jitted tree build for a fixed leaf count: values (n,) uint32 (or
     (2, n) limb pairs for 64-bit fields, fields/fp64.py) -> tuple of
     digest levels [(n,8), (ceil(n/2),8), ..., (1,8)]."""
+    pow2 = n & (n - 1) == 0
 
     def build(values):
         if wide:
@@ -74,7 +107,7 @@ def _build_jit(n: int, wide: bool = False):
         level = sha256_u64_leaves(hi, values)
         levels = [level]
         size = n
-        while size > 1:
+        while size > 1 and not (pow2 and size <= _TAIL_SIZE):
             half = size // 2
             parents = sha256_pairs(level[0 : 2 * half : 2], level[1 : 2 * half : 2])
             if size % 2:
@@ -82,6 +115,8 @@ def _build_jit(n: int, wide: bool = False):
             level = parents
             levels.append(level)
             size = parents.shape[0]
+        if size > 1:  # power-of-two tail: one scan for all small levels
+            levels.extend(_tail_scan(level, size.bit_length() - 1))
         return tuple(levels)
 
     return jax.jit(build)

@@ -32,6 +32,11 @@ _U32 = jnp.uint32
 # below this size the 1-D plan wins (fewer reshapes, no transpose)
 FOURSTEP_MIN = 1 << 14
 
+# Fuse radix-2 stage pairs into radix-4 only at/above this total element
+# count (length x batch): measured v5e crossover (2^24: 12.9 -> 8.4 ms;
+# 2^22 and below: no win, ~3x XLA compile time).
+RADIX4_MIN_ELEMS = 1 << 24
+
 
 def stages_axis0(fp: Fp, xm, twiddles, length: int):
     """All Stockham butterfly stages along axis -2 of (..., length, C),
@@ -45,14 +50,20 @@ def stages_axis0(fp: Fp, xm, twiddles, length: int):
     traffic) at the same multiply count.  Output is bit-identical to the
     radix-2 sequence (the radix-4 form below is the exact algebraic
     composition of two radix-2 stages; twiddle identities w_lh = w_l^2,
-    J = w_l^(l/4))."""
+    J = w_l^(l/4)).  Gated on total work (RADIX4_MIN_ELEMS, see
+    ntt.stockham_stages): below it radix-4 is a runtime wash that
+    triples compile time."""
     batch = xm.shape[:-2]
     c = xm.shape[-1]
+    total = 1
+    for s in xm.shape:
+        total *= int(s)
+    r4 = total >= RADIX4_MIN_ELEMS
     wide = getattr(fp, "width", 1) > 1
     l, m = length, 1
     i = 0
     while i < len(twiddles):
-        if l >= 4 and i + 1 < len(twiddles):
+        if r4 and l >= 4 and i + 1 < len(twiddles):
             t_l, t_lh = twiddles[i], twiddles[i + 1]
             i += 2
             lq = l // 4

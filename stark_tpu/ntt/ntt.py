@@ -107,13 +107,22 @@ def stockham_stages(fp: Fp, n: int, xm, twiddles):
 
     Stage pairs run as one radix-4 butterfly (same fusion and exact
     bit-identity argument as fourstep.stages_axis0 — one HBM pass where
-    XLA would materialize two)."""
+    XLA would materialize two).  Gated on total work (RADIX4_MIN_ELEMS):
+    measured on v5e, radix-4 wins only once the working set spills HBM
+    caches (2^24: 12.9 -> 8.4 ms; 2^22: a wash) while tripling XLA
+    compile time, so smaller transforms keep the radix-2 graph."""
+    from stark_tpu.ntt.fourstep import RADIX4_MIN_ELEMS
+
     batch = xm.shape[:-1]
+    total = 1
+    for s in xm.shape:
+        total *= int(s)
+    r4 = total >= RADIX4_MIN_ELEMS
     wide = getattr(fp, "width", 1) > 1
     l, m = n, 1
     i = 0
     while i < len(twiddles):
-        if l >= 4 and i + 1 < len(twiddles):
+        if r4 and l >= 4 and i + 1 < len(twiddles):
             t_l, t_lh = twiddles[i], twiddles[i + 1]
             i += 2
             lq = l // 4
