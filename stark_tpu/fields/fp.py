@@ -324,17 +324,67 @@ class Fp:
     def jit_sum(self):
         return jax.jit(self.sum)
 
+    # Constant-table builders: all arguments are static, so the tables are
+    # compile-time constants — building them on HOST (vectorized numpy,
+    # u64-safe since operands < 2^32) and uploading costs no XLA compile.
+    # A cold prove used to spend ~20 s compiling ~30 one-shot table
+    # programs (coset domains per FRI layer, twiddles per size); now each
+    # is a fraction of a millisecond of numpy.  The names keep their jit_*
+    # form because they are drop-in: same signature, same device output.
+    def host_powers(self, base: int, count: int, mont: bool = False):
+        """numpy uint32 [base^0 .. base^(count-1)], canonical (or mont)."""
+        import numpy as np
+
+        p = self.p
+        base = int(base) % p
+        out = np.ones(1, dtype=np.uint64)
+        c = 1
+        while c < count:
+            out = np.concatenate([out, out * np.uint64(pow(base, c, p)) % np.uint64(p)])
+            c *= 2
+        out = out[:count]
+        if mont:
+            out = out * np.uint64(self.r) % np.uint64(p)
+        return out.astype(np.uint32)
+
+    def host_geometric_table(self, ratios, count: int, mont: bool = False):
+        """numpy uint32 T[i, j] = ratios[i]^j, canonical (or mont)."""
+        import numpy as np
+
+        p = np.uint64(self.p)
+        r = np.asarray(ratios, dtype=np.uint64) % p
+        cols = np.ones(r.shape + (1,), dtype=np.uint64)
+        cur = r[..., None]
+        c = 1
+        while c < count:
+            cols = np.concatenate([cols, cols * cur % p], axis=-1)[..., :count]
+            cur = cur * cur % p
+            c *= 2
+        if mont:
+            cols = cols * np.uint64(self.r) % p
+        return cols.astype(np.uint32)
+
     @functools.cached_property
     def jit_powers(self):
-        return jax.jit(self.powers, static_argnums=(0, 1))
+        return lambda base, count: jnp.asarray(self.host_powers(base, count))
 
     @functools.cached_property
     def jit_geometric_table(self):
-        return jax.jit(self.geometric_table, static_argnums=1)
+        import numpy as np
+
+        return lambda ratios, count: jnp.asarray(
+            self.host_geometric_table(np.asarray(ratios), count))
 
     @functools.cached_property
     def jit_coset_domain(self):
-        return jax.jit(self.coset_domain, static_argnums=(0, 1, 2))
+        import numpy as np
+
+        def run(offset: int, omega: int, size: int):
+            pw = self.host_powers(omega, size).astype(np.uint64)
+            dom = pw * np.uint64(int(offset) % self.p) % np.uint64(self.p)
+            return jnp.asarray(dom.astype(np.uint32))
+
+        return run
 
     # -- domain helpers ---------------------------------------------------
     def two_adic_root(self, order: int, generator: int) -> int:

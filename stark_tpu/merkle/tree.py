@@ -92,11 +92,12 @@ def _tail_scan(level, k: int):
     return [stacked[i, : 1 << (k - 1 - i)] for i in range(k)]
 
 
-@functools.lru_cache(maxsize=None)
-def _build_jit(n: int, wide: bool = False):
-    """Jitted tree build for a fixed leaf count: values (n,) uint32 (or
-    (2, n) limb pairs for 64-bit fields, fields/fp64.py) -> tuple of
-    digest levels [(n,8), (ceil(n/2),8), ..., (1,8)]."""
+def build_levels_fn(n: int, wide: bool = False):
+    """The raw (traceable) tree build for a fixed leaf count: values (n,)
+    uint32 (or (2, n) limb pairs for 64-bit fields, fields/fp64.py) ->
+    tuple of digest levels [(n,8), (ceil(n/2),8), ..., (1,8)].  Use this
+    to fuse a tree build into a larger jitted program (fri/commit.py's
+    per-layer fold+tree+absorb step); `_build_jit` is its standalone jit."""
     pow2 = n & (n - 1) == 0
 
     def build(values):
@@ -119,7 +120,12 @@ def _build_jit(n: int, wide: bool = False):
             levels.extend(_tail_scan(level, size.bit_length() - 1))
         return tuple(levels)
 
-    return jax.jit(build)
+    return build
+
+
+@functools.lru_cache(maxsize=None)
+def _build_jit(n: int, wide: bool = False):
+    return jax.jit(build_levels_fn(n, wide))
 
 
 class MerkleTree:

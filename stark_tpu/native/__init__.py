@@ -69,6 +69,11 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_char_p,
     ]
+    for fn in (lib.stark_fib_trace, lib.stark_mimc_trace):
+        fn.argtypes = [
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint64),
+        ]
     _lib = lib
     return _lib
 
@@ -134,6 +139,22 @@ def merkle_build_host(values) -> list[bytes]:
     )
     assert wrote == total
     return [buf.raw[32 * i : 32 * (i + 1)] for i in range(total)]
+
+
+def host_trace(kind: str, p: int, arg0: int, arg1: int, n: int):
+    """Sequential AIR trace on host (uint64 numpy array of n canonical
+    values), or None when the native lib is unavailable.  kind: "fib"
+    (arg0=a0, arg1=a1) or "mimc" (arg0=x0, arg1=k).  Exact for p < 2^64."""
+    lib = get_lib()
+    if lib is None or not (0 < p < 1 << 64):
+        return None
+    import numpy as np
+
+    out = np.empty(n, dtype=np.uint64)
+    fn = lib.stark_fib_trace if kind == "fib" else lib.stark_mimc_trace
+    fn(p, arg0 % p, arg1 % p, n, out.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint64)))
+    return out
 
 
 def channel_absorb(state_hex: str, message: bytes) -> str:

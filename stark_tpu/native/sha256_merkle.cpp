@@ -197,4 +197,44 @@ void stark_channel_absorb(const char* state_hex, size_t state_len,
   }
 }
 
+// Sequential AIR trace generation.  The recurrences below are inherently
+// serial (each step depends on the last), so a scalar host loop is the
+// right tool — the device lax.scan equivalent costs ~1 us/step of loop
+// overhead on the TPU (stark/trace.py keeps it as the fallback).  Both
+// are exact mod-p arithmetic for any p < 2^64 (128-bit intermediates),
+// covering the Goldilocks field.
+
+static inline uint64_t mulmod64(uint64_t a, uint64_t b, uint64_t p) {
+  return (uint64_t)(((__uint128_t)a * b) % p);
+}
+
+static inline uint64_t addmod64(uint64_t a, uint64_t b, uint64_t p) {
+  return (uint64_t)(((__uint128_t)a + b) % p);
+}
+
+// Fibonacci-square: a_{i+2} = a_{i+1}^2 + a_i^2 (STARK-101; fills the
+// reference's 0-byte src/trace/fibonacci.rs stub).  Writes n values.
+void stark_fib_trace(uint64_t p, uint64_t a0, uint64_t a1, size_t n,
+                     uint64_t* out) {
+  uint64_t x = a0 % p, y = a1 % p;
+  for (size_t i = 0; i < n; i++) {
+    out[i] = x;
+    uint64_t nxt = addmod64(mulmod64(x, x, p), mulmod64(y, y, p), p);
+    x = y;
+    y = nxt;
+  }
+}
+
+// MiMC cube chain: x_{i+1} = (x_i + k)^3 (stark/air.py MimcAIR).
+void stark_mimc_trace(uint64_t p, uint64_t x0, uint64_t k, size_t n,
+                      uint64_t* out) {
+  uint64_t x = x0 % p;
+  k %= p;
+  for (size_t i = 0; i < n; i++) {
+    out[i] = x;
+    uint64_t t = addmod64(x, k, p);
+    x = mulmod64(mulmod64(t, t, p), t, p);
+  }
+}
+
 }  // extern "C"

@@ -164,8 +164,19 @@ def stockham_stages(fp: Fp, n: int, xm, twiddles):
 
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles(p: int, n: int, w: int) -> tuple:
-    """All Stockham stage twiddles (mont form) as one jitted computation."""
+    """All Stockham stage twiddles (mont form).  Width-1 fields build the
+    constants on host (fp.host_powers — zero XLA compile); two-limb
+    fields keep the one-jit device doubling build."""
     f = Fp.get(p)
+    if f.width == 1:
+        out = []
+        l = n
+        while l > 1:
+            lh = l // 2
+            wl = pow(w, n // l, p)
+            out.append(jnp.asarray(f.host_powers(wl, lh, mont=True)))
+            l = lh
+        return tuple(out)
 
     def build():
         out = []

@@ -173,9 +173,10 @@ class _PallasNTT:
             _dit_twiddles_packed(p, self.n2, pow(w, self.n1, p), fp.r))
         self.rev1 = jnp.asarray(_bitrev(self.n1))
         self.rev2 = jnp.asarray(_bitrev(self.n2))
-        # big twiddle table T[k1, j2] = w^(j2*k1), mont form, (n1, n2)
-        ratios = fp.jit_powers(w, self.n1)  # w^k1
-        self.table = fp.jit_to_mont(fp.jit_geometric_table(ratios, self.n2))
+        # big twiddle table T[k1, j2] = w^(j2*k1), mont form, (n1, n2) —
+        # host-built constants (the Pallas path is u32-only, so width == 1)
+        self.table = jnp.asarray(fp.host_geometric_table(
+            fp.host_powers(w, self.n1), self.n2, mont=True))
         self.ninv_mont = pow(n, p - 2, p) * fp.r % p  # int -> kernel literal
         self.interpret = interpret
         self._jit = jax.jit(self._run)

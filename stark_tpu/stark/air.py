@@ -241,8 +241,18 @@ class MimcAIR(AIR):
             raise ValueError("MimcAIR needs blowup >= 4 (CP degree < 2N)")
 
     def build_trace(self, cfg: ProverConfig):
+        import os
+
         from stark_tpu.fields.fp import Fp
 
+        if not os.environ.get("STARK_TPU_DEVICE_TRACE"):
+            from stark_tpu.native import host_trace
+            from stark_tpu.stark.trace import upload_trace
+
+            host = host_trace("mimc", cfg.modulus, self.x0, self.k,
+                              cfg.trace_length)
+            if host is not None:
+                return upload_trace(host, cfg.modulus)
         return _mimc_trace_jit(cfg.modulus, cfg.trace_length, self.k)(
             Fp.get(cfg.modulus).const(self.x0)
         )

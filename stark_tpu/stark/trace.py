@@ -50,10 +50,37 @@ def _trace_jit(p: int, length: int):
     return jax.jit(gen)
 
 
+def upload_trace(host_u64, p: int):
+    """Canonical uint64 numpy trace -> device layout ((n,) u32, or (2, n)
+    limb pairs for 64-bit fields) without a per-element python loop."""
+    import numpy as np
+
+    f = Fp.get(p)
+    arr = np.asarray(host_u64, dtype=np.uint64)
+    if f.width == 1:
+        return jnp.asarray(arr.astype(np.uint32))
+    return jnp.asarray(np.stack([(arr >> np.uint64(32)).astype(np.uint32),
+                                 (arr & np.uint64(0xFFFFFFFF)).astype(
+                                     np.uint32)]))
+
+
 def fibonacci_square_trace(p: int, length: int, a0: int = 1, a1: int = 3141592):
-    """(length,) device trace of the Fibonacci-square AIR (lax.scan —
-    the recurrence is sequential but each step is O(1) field ops); a
-    (2, length) limb-pair array for 64-bit fields."""
+    """(length,) device trace of the Fibonacci-square AIR; a (2, length)
+    limb-pair array for 64-bit fields.
+
+    The recurrence is sequential, so the native host loop (C, ~1 ns/step)
+    beats the device lax.scan (~1 us/step of TPU loop overhead — 17 s at
+    2^24 rows) and the result is uploaded in one transfer.  The scan path
+    remains as the no-toolchain fallback and under STARK_TPU_DEVICE_TRACE
+    (tests assert both produce identical traces)."""
+    import os
+
+    if not os.environ.get("STARK_TPU_DEVICE_TRACE"):
+        from stark_tpu.native import host_trace
+
+        host = host_trace("fib", p, a0, a1, length)
+        if host is not None:
+            return upload_trace(host, p)
     f = Fp.get(p)
     return _trace_jit(p, length)(f.const(a0), f.const(a1))
 

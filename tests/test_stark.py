@@ -42,6 +42,32 @@ class TestTrace:
         tr = fibonacci_square_trace(p, 1023, 1, 3141592)
         assert int(np.asarray(tr[-1:])[0]) == 2338775057
 
+    @pytest.mark.parametrize("p", [DEFAULT_MODULUS, 2**64 - 2**32 + 1])
+    def test_host_trace_matches_device_scan(self, p, monkeypatch):
+        """The native host trace generator (stark_tpu/native) must be
+        bit-identical to the device lax.scan path, both field widths."""
+        from stark_tpu.native import host_trace
+
+        if host_trace("fib", 97, 1, 2, 4) is None:
+            pytest.skip("native lib unavailable")
+        t_host = np.asarray(fibonacci_square_trace(p, 511, 1, 3141592))
+        monkeypatch.setenv("STARK_TPU_DEVICE_TRACE", "1")
+        t_dev = np.asarray(fibonacci_square_trace(p, 511, 1, 3141592))
+        assert np.array_equal(t_host, t_dev)
+
+    def test_host_trace_matches_device_scan_mimc(self, monkeypatch):
+        from stark_tpu.native import host_trace
+        from stark_tpu.stark.air import MimcAIR
+
+        if host_trace("mimc", 97, 1, 2, 4) is None:
+            pytest.skip("native lib unavailable")
+        cfg = ProverConfig(log2_trace=8, blowup=4, num_queries=4)
+        air = MimcAIR()
+        t_host = np.asarray(air.build_trace(cfg))
+        monkeypatch.setenv("STARK_TPU_DEVICE_TRACE", "1")
+        t_dev = np.asarray(air.build_trace(cfg))
+        assert np.array_equal(t_host, t_dev)
+
     def test_trace_polynomial_interpolates(self):
         p = DEFAULT_MODULUS
         k = 4
