@@ -162,10 +162,21 @@ def fri_commit(
 
     from stark_tpu.merkle.tree import _use_pallas_build
 
+    # Fused-layer envelope: the remote TPU compiler HANGS (>15 min, never
+    # returns) on the fused draw+fold+tree+absorb program once the tree is
+    # large (observed at m=2^17 leaves=2^16; the same parts compile in
+    # ~1-3 s as separate programs, and XLA:CPU compiles the fused form
+    # fine at any size).  Until the pinpoint probe (benches/probe_fuse.py)
+    # isolates the combination, fuse only layers whose tree is a single
+    # tail-scan build (<= 2^10 leaves) — the numerous cheap layers where
+    # per-program overhead dominated anyway.
+    fuse_max_leaves = 1 << 10
+
     size, off = n, offset
     for _ in range(num_folds):
         inv_dom = _inv_domain(p, size, off)
-        if mesh is None and not _use_pallas_build(size // 2, evals):
+        if (mesh is None and size // 2 <= fuse_max_leaves
+                and not _use_pallas_build(size // 2, evals)):
             # fused draw+fold+tree+absorb: one program, one dispatch
             out = _layer_jit(p, size)(fs.state, evals, inv_dom)
             evals, levels, new_state, beta = out[0], out[1:-2], out[-2], out[-1]

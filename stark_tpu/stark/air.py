@@ -76,7 +76,15 @@ def _alphas_arr(alphas, p: int):
 
 def _elem_int(trace, i: int) -> int:
     """Host int of trace element i (one tiny fetch), width-generic: the
-    lane axis is last; a leading (2,) limb plane may precede it."""
+    lane axis is last; a leading (2,) limb plane may precede it.  Traces
+    uploaded from the native host generator answer endpoint reads (0/-1)
+    from the host cache — no device round trip."""
+    if i in (0, -1):
+        from stark_tpu.stark.trace import host_endpoints
+
+        ends = host_endpoints(trace)
+        if ends is not None:
+            return ends[0] if i == 0 else ends[1]
     sl = trace[..., i : i + 1] if i >= 0 else trace[..., i:]
     vals = np.asarray(sl).astype(np.uint64).reshape(-1)
     if trace.ndim == 2:

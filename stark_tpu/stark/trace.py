@@ -50,6 +50,22 @@ def _trace_jit(p: int, length: int):
     return jax.jit(gen)
 
 
+# Host endpoint cache for uploaded traces: publics extraction
+# (air._elem_int) would otherwise fetch trace[0] / trace[-1] from device —
+# two ~30-100 ms tunnel round trips per prove that the host already knows.
+# Keyed by id() with a weakref.finalize purging entries when the device
+# array dies (so a recycled id can never alias a stale entry).
+import weakref as _weakref  # noqa: E402
+
+_trace_endpoints: dict = {}
+
+
+def host_endpoints(trace):
+    """(first, last) host ints for a trace uploaded via upload_trace, or
+    None if this array was not host-generated."""
+    return _trace_endpoints.get(id(trace))
+
+
 def upload_trace(host_u64, p: int):
     """Canonical uint64 numpy trace -> device layout ((n,) u32, or (2, n)
     limb pairs for 64-bit fields) without a per-element python loop."""
@@ -58,10 +74,15 @@ def upload_trace(host_u64, p: int):
     f = Fp.get(p)
     arr = np.asarray(host_u64, dtype=np.uint64)
     if f.width == 1:
-        return jnp.asarray(arr.astype(np.uint32))
-    return jnp.asarray(np.stack([(arr >> np.uint64(32)).astype(np.uint32),
-                                 (arr & np.uint64(0xFFFFFFFF)).astype(
-                                     np.uint32)]))
+        dev = jnp.asarray(arr.astype(np.uint32))
+    else:
+        dev = jnp.asarray(
+            np.stack([(arr >> np.uint64(32)).astype(np.uint32),
+                      (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)]))
+    key = id(dev)
+    _trace_endpoints[key] = (int(arr[0]), int(arr[-1]))
+    _weakref.finalize(dev, _trace_endpoints.pop, key, None)
+    return dev
 
 
 def fibonacci_square_trace(p: int, length: int, a0: int = 1, a1: int = 3141592):
