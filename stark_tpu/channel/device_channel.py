@@ -103,6 +103,22 @@ def advance(state):
     return _sha(_ascii_hex_words(state), 64)
 
 
+def absorb_value(state, hi, lo):
+    """send(value.to_bytes(8, 'big')): the 80-byte message = 64-char state
+    hex + 16 hex chars of the value, SHA padding inside the second block
+    (the framing FRI's final-constant send uses, fri_commit.rs:114)."""
+    st = _ascii_hex_words(state)                 # (16,) words, block 1
+    hv = _ascii_hex_words(jnp.stack([hi, lo]))   # (4,) words = 16 chars
+    zero = jnp.zeros((), _U32)
+    tail = [jnp.full((), _U32(0x80000000))] + [zero] * 10 + [
+        jnp.full((), _U32(80 * 8))
+    ]
+    s = [jnp.full((), _U32(x)) for x in _H0]
+    s = _compress_fixed(s, [st[i] for i in range(16)])
+    s = _compress_fixed(s, [hv[i] for i in range(4)] + tail)
+    return jnp.stack(s)
+
+
 def state_mod(state, p: int):
     """int(state_hex, 16) mod p as a canonical field element — the
     receive_random_int value for min=0, range=p (channel.rs:69-72).
@@ -187,12 +203,46 @@ class DeviceFS:
         self.log.append(("draw", v))
         return v
 
+    def mark(self, label: str) -> None:
+        """Record a phase boundary; replay emits channel.mark_phase(label)
+        at this position (keeps phase-tagged transcripts/checkpoints exact
+        when the whole prove replays from one fetch)."""
+        self.log.append(("mark", label))
+
+    def payloads(self) -> list:
+        """The device arrays the replay needs, in log order (marks carry
+        no payload)."""
+        return [pl for kind, pl in self.log if kind != "mark"]
+
+    def replay_fetched(self, channel, fetched) -> None:
+        """Replay the log into `channel` from already-fetched host values
+        (one per non-mark log entry, in order), asserting every device
+        draw equals the host derivation."""
+        import numpy as np
+
+        from stark_tpu.fields.fp import Fp
+
+        f = Fp.get(self.p)
+        it = iter(fetched)
+        for kind, payload in self.log:
+            if kind == "mark":
+                channel.mark_phase(payload)
+            elif kind == "root":
+                root_hex = np.asarray(next(it)).astype(">u4").tobytes().hex()
+                channel.send(root_hex.encode())
+            else:
+                el = channel.receive_random_field_element()
+                dev_val = f.to_ints(np.asarray(next(it)))[0]
+                if el.value != dev_val:
+                    raise RuntimeError(
+                        "device Fiat-Shamir diverged from host transcript "
+                        f"({dev_val} != {el.value})"
+                    )
+
     def finalize(self, channel, extras=()) -> list:
         """Replay the log into `channel` (which must be at this FS's
         construction state); returns the fetched `extras` arrays."""
-        import numpy as np
-
-        payloads = [payload for _, payload in self.log] + list(extras)
+        payloads = self.payloads() + list(extras)
         if self._mesh is not None:
             # multi-process: payloads may span non-addressable devices;
             # replicate the (tiny) values so every host can fetch them
@@ -202,20 +252,6 @@ class DeviceFS:
                           out_shardings=NamedSharding(self._mesh, P()))
             payloads = [rep(pl) for pl in payloads]
         fetched = jax.device_get(payloads)
-        ex = fetched[len(self.log):]
-        from stark_tpu.fields.fp import Fp
-
-        f = Fp.get(self.p)
-        for (kind, _), host_val in zip(self.log, fetched):
-            if kind == "root":
-                root_hex = np.asarray(host_val).astype(">u4").tobytes().hex()
-                channel.send(root_hex.encode())
-            else:
-                el = channel.receive_random_field_element()
-                dev_val = f.to_ints(np.asarray(host_val))[0]
-                if el.value != dev_val:
-                    raise RuntimeError(
-                        "device Fiat-Shamir diverged from host transcript "
-                        f"({dev_val} != {el.value})"
-                    )
-        return ex
+        n = len(payloads) - len(extras)
+        self.replay_fetched(channel, fetched[:n])
+        return fetched[n:]

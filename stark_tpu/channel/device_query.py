@@ -297,13 +297,11 @@ class DeviceQueryPlan:
             on_tpu = False
         return 1 if on_tpu else 0
 
-    def run(self, channel, f_evals, trace_levels, fri_layers, fri_levels,
-            mode: int | None = None):
-        """Execute on device, fetch once, replay the canonical transcript
-        into `channel`, asserting the device chain matches."""
-        state = jnp.asarray(
-            np.frombuffer(bytes.fromhex(channel.state), dtype=">u4").astype(
-                np.uint32))
+    def run_device(self, state, f_evals, trace_levels, fri_layers,
+                   fri_levels, mode: int | None = None):
+        """Dispatch the device program only (no fetch): `state` is the
+        (8,) u32 Fiat-Shamir state array; returns device
+        (final_state, idxs, outs) for a later fetch + :meth:`replay`."""
         if mode is None:
             mode = self._mode(f_evals)
         fn = self._jit_cache.get(mode)
@@ -313,9 +311,23 @@ class DeviceQueryPlan:
         final_state, (idxs, outs) = fn(
             state, f_evals, tuple(trace_levels),
             tuple(fri_layers), tuple(tuple(l) for l in fri_levels))
-        fetched = jax.device_get((final_state, idxs, outs))
-        final_h, idxs_h, outs_h = fetched
+        return final_state, idxs, outs
 
+    def run(self, channel, f_evals, trace_levels, fri_layers, fri_levels,
+            mode: int | None = None):
+        """Execute on device, fetch once, replay the canonical transcript
+        into `channel`, asserting the device chain matches."""
+        state = jnp.asarray(
+            np.frombuffer(bytes.fromhex(channel.state), dtype=">u4").astype(
+                np.uint32))
+        dev = self.run_device(state, f_evals, trace_levels, fri_layers,
+                              fri_levels, mode)
+        final_h, idxs_h, outs_h = jax.device_get(dev)
+        self.replay(channel, final_h, idxs_h, outs_h)
+
+    def replay(self, channel, final_h, idxs_h, outs_h):
+        """Replay the canonical transcript into `channel` from fetched
+        host values, asserting the device chain matches."""
         for q in range(self.num_queries):
             idx = channel.receive_random_int(0, self.rng - 1, True)
             if idx != int(idxs_h[q]):

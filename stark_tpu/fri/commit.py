@@ -106,12 +106,30 @@ def _inv_domain(p: int, m: int, offset: int):
 class FRIProof:
     """All layers + trees + final constant (mirrors FRIProof,
     fri_commit.rs:8-13; final_poly is the constant value since folding
-    runs to degree 0)."""
+    runs to degree 0).  In deferred mode (fri_commit(..., defer=True))
+    `final_value` is None until the caller fetches the last layer and
+    calls :func:`finish_deferred`."""
 
     fri_layers: list[jax.Array]
     fri_merkles: list[MerkleTree]
-    final_value: int
+    final_value: int | None
     offsets: list[int]  # coset offset per layer (o, o^2, o^4, ...)
+
+
+def finish_deferred(p: int, final_vals_host, channel: Channel,
+                    strict: bool = True) -> int:
+    """Strict-constant check + the final-value send for a deferred
+    fri_commit, given the already-fetched last layer."""
+    final_ints = Fp.get(p).to_ints(final_vals_host)
+    final_value = final_ints[0]
+    if strict and any(v != final_value for v in final_ints):
+        raise ValueError(
+            "FRI did not fold to a constant — codeword degree exceeds "
+            "2^num_folds (proof would be rejected); pass strict=False to "
+            "emit the doomed transcript anyway (testing only)"
+        )
+    channel.send(final_value.to_bytes(8, "big"))
+    return final_value
 
 
 def fri_commit(
@@ -122,6 +140,8 @@ def fri_commit(
     num_folds: int | None = None,
     strict: bool = True,
     mesh=None,
+    fs=None,
+    defer: bool = False,
 ) -> FRIProof:
     """Commit phase (fri_commit.rs:72-122): Merkle each layer, absorb the
     root, draw beta, fold; finally send the constant.
@@ -129,6 +149,12 @@ def fri_commit(
     `evals`: canonical uint32 evaluations on {offset * w^i : i < n}.
     `num_folds`: folds to perform; defaults to log2(n) - 3 (stop at a
     size-8 layer like STARK-101's 8192 -> 8).
+
+    `fs`: an ACTIVE DeviceFS to continue (single-fetch prove path); when
+    None a fresh one is created from channel.state.  With `defer=True`
+    nothing touches the host channel — no fetch, no replay, no final
+    send; the caller fetches fs.payloads() + the last layer and calls
+    :func:`finish_deferred` (stark/prover.py's one-fetch fast path).
     """
     n = int(evals.shape[-1])
     if n & (n - 1):
@@ -152,12 +178,16 @@ def fri_commit(
     layers = [evals]
     offsets = [offset]
     trees = [_tree(evals)]
-    channel.mark_phase("fri-commit")
 
     # The whole commit->challenge->fold chain runs with a device-resident
     # Fiat-Shamir state: no host sync per layer (each costs a full round
     # trip); the canonical host transcript is replayed from ONE fetch.
-    fs = DeviceFS(p, channel.state, mesh=mesh)
+    own_fs = fs is None
+    if own_fs:
+        channel.mark_phase("fri-commit")
+        fs = DeviceFS(p, channel.state, mesh=mesh)
+    else:
+        fs.mark("fri-commit")
     fs.absorb_root(trees[0].levels[-1][0])
 
     from stark_tpu.merkle.tree import _use_pallas_build
@@ -195,16 +225,10 @@ def fri_commit(
         offsets.append(off)
         trees.append(tree)
 
+    if defer:
+        return FRIProof(layers, trees, None, offsets)
     (final_vals,) = fs.finalize(channel, extras=[layers[-1]])
-    final_ints = Fp.get(p).to_ints(np.asarray(final_vals))
-    final_value = final_ints[0]
-    if strict and any(v != final_value for v in final_ints):
-        raise ValueError(
-            "FRI did not fold to a constant — codeword degree exceeds "
-            "2^num_folds (proof would be rejected); pass strict=False to "
-            "emit the doomed transcript anyway (testing only)"
-        )
-    channel.send(final_value.to_bytes(8, "big"))
+    final_value = finish_deferred(p, np.asarray(final_vals), channel, strict)
     return FRIProof(layers, trees, final_value, offsets)
 
 

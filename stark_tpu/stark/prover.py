@@ -167,9 +167,35 @@ def prove(
             f_evals = coset_evaluate(coeffs, p, M, h)
         _sync(f_evals)
 
-    # -- commit trace ------------------------------------------------------
+    # The single-fetch fast path: trace commit, challenge draws, the whole
+    # FRI chain, AND the query phase run device-side with a device-resident
+    # Fiat-Shamir state; the host transcript is replayed afterwards from
+    # ONE device->host transfer (each fetch costs a ~30-100 ms tunnel round
+    # trip).  Phase-accurate channels (checkpoint/resume's ReplayChannel)
+    # need transcript bytes present at each phase boundary, so they — and
+    # sharded proves — keep the per-phase replay.
+    import os as _os
+
+    from stark_tpu.channel import device_query as _dq
+
+    num_folds = air.num_folds(cfg)
+    fri_lengths = tuple(M >> k for k in range(num_folds + 1))
+    rng = M - max_off
     if channel is None:
         channel = Channel(p)
+    single_fetch = (
+        mesh is None
+        and not getattr(channel, "phase_accurate", False)
+        and not _os.environ.get("STARK_TPU_HOST_QUERIES")
+        and not _os.environ.get("STARK_TPU_PHASE_SYNC")
+        and _dq.supported(rng, M, fri_lengths)
+    )
+
+    if single_fetch:
+        return _prove_single_fetch(
+            cfg, air, channel, f_evals, publics, pub_vals, offsets, rng,
+            fri_lengths, strict, mx, _sync)
+
     channel.mark_phase("trace-commit")
     with mx.phase("trace-commit", leaves=M):
         if mesh is not None:
@@ -195,25 +221,17 @@ def prove(
         _sync(cp)
 
     # -- FRI ---------------------------------------------------------------
-    with mx.phase("fri-commit", folds=air.num_folds(cfg)):
+    with mx.phase("fri-commit", folds=num_folds):
         fri_proof: FRIProof = fri_commit(
-            cp, p, h, channel, num_folds=air.num_folds(cfg), strict=strict,
+            cp, p, h, channel, num_folds=num_folds, strict=strict,
             mesh=mesh,
         )
 
     # -- queries -----------------------------------------------------------
-    # Single-device: the ENTIRE query phase (index draws, gathers, SHA
-    # absorption) runs as one device program + ONE fetch
-    # (channel/device_query.py).  Sharded/mesh proves keep the per-query
-    # batched-gather loop (one fetch per query).
-    import os as _os
-
+    # Sharded/phase-accurate proves: device query program when supported
+    # (one fetch), else the per-query batched-gather loop.
     channel.mark_phase("queries")
     with mx.phase("queries", num_queries=cfg.num_queries):
-        from stark_tpu.channel import device_query as _dq
-
-        fri_lengths = tuple(int(l.shape[-1]) for l in fri_proof.fri_layers)
-        rng = M - max_off
         if (
             mesh is None
             and not _os.environ.get("STARK_TPU_HOST_QUERIES")
@@ -262,6 +280,10 @@ def prove(
                 bg.run()
                 emit_plan(plan, bg, channel)
 
+    return _finish_proof(cfg, air, channel, publics, pub_vals, mx)
+
+
+def _finish_proof(cfg, air, channel, publics, pub_vals, mx) -> StarkProof:
     proof_bytes = sum(len(m) for m in channel.proof)
     mx.count("proves")
     mx.count("proof_bytes", proof_bytes)
@@ -275,3 +297,74 @@ def prove(
         air_name=air.name,
         extra_publics=extra or None,
     )
+
+
+def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,
+                        offsets, rng, fri_lengths, strict, mx, _sync):
+    """The whole prove after trace-LDE with a device-resident Fiat-Shamir
+    state and exactly ONE device->host transfer: trace commit + alpha
+    draws + FRI chain + query phase dispatch device-side, then one fetch
+    (FS log, final FRI layer, query openings) and a host replay that
+    emits the byte-identical canonical transcript."""
+    import jax as _jax
+
+    from stark_tpu.channel import device_query as _dq
+    from stark_tpu.channel.device_channel import DeviceFS
+    from stark_tpu.fields.fp import Fp as _Fp
+    from stark_tpu.fri.commit import finish_deferred
+
+    p, M, h = cfg.modulus, cfg.eval_domain_size, cfg.offset
+    num_folds = len(fri_lengths) - 1
+
+    with mx.phase("trace-commit", leaves=M):
+        trace_tree = MerkleTree(f_evals)
+        fs = DeviceFS(p, channel.state)
+        fs.mark("trace-commit")
+        fs.absorb_root(trace_tree.levels[-1][0])
+        alphas = tuple(fs.draw() for _ in range(air.num_alphas))
+        _sync(trace_tree.levels[-1], fs.state)
+
+    fs.mark("composition")
+    with mx.phase("composition"):
+        ctx = get_air_context(air, cfg)
+        cp = ctx.compose(f_evals, alphas, publics)
+        _sync(cp)
+
+    with mx.phase("fri-commit", folds=num_folds):
+        fri_proof: FRIProof = fri_commit(
+            cp, p, h, channel, num_folds=num_folds, strict=strict,
+            fs=fs, defer=True)
+        _sync(fri_proof.fri_layers[-1])
+
+    # the canonical transcript sends the final FRI constant before the
+    # query draws — advance the device FS state over that send too
+    import jax.numpy as _jnp
+
+    from stark_tpu.channel.device_channel import absorb_value
+
+    last = fri_proof.fri_layers[-1]
+    if _Fp.get(p).width == 2:
+        hi, lo = last[0, 0], last[1, 0]
+    else:
+        hi, lo = _jnp.zeros((), last.dtype), last[0]
+    fs.state = _jax.jit(absorb_value)(fs.state, hi, lo)
+
+    with mx.phase("queries", num_queries=cfg.num_queries):
+        plan = _dq.get_plan(rng, cfg.num_queries, tuple(offsets), M,
+                            fri_lengths, elem_width=_Fp.get(p).width)
+        dev = plan.run_device(
+            fs.state, f_evals, trace_tree.levels[:-1],
+            fri_proof.fri_layers,
+            [t.levels[:-1] for t in fri_proof.fri_merkles])
+        # THE one device->host transfer of the whole prove
+        payload_h, final_layer_h, dev_h = _jax.device_get(
+            (fs.payloads(), fri_proof.fri_layers[-1], dev))
+
+    # host replay: canonical transcript bytes (roots, challenge checks),
+    # the strict final-constant check + send, then the query openings
+    fs.replay_fetched(channel, payload_h)
+    fri_proof.final_value = finish_deferred(p, final_layer_h, channel,
+                                            strict)
+    channel.mark_phase("queries")
+    plan.replay(channel, *dev_h)
+    return _finish_proof(cfg, air, channel, publics, pub_vals, mx)

@@ -93,6 +93,13 @@ class TestProveVerify:
         assert pr.a_last == 2338775057
         assert verify(pr)
 
+    def test_single_fetch_matches_phase_sync(self, small_proof, monkeypatch):
+        """The one-fetch fast path and the per-phase replay path must emit
+        byte-identical transcripts (STARK_TPU_PHASE_SYNC forces the
+        latter)."""
+        monkeypatch.setenv("STARK_TPU_PHASE_SYNC", "1")
+        assert prove(SMALL).proof == small_proof.proof
+
     def test_deterministic(self):
         a = prove(SMALL)
         b = prove(SMALL)
