@@ -209,8 +209,17 @@ def main():
     mx = MetricsCollector()
     prove(cfg, metrics=mx)
     results["prove_phase_split"] = mx.to_dict()
+    phase_sum = 0.0
     for ph in mx.to_dict()["phases"]:
+        phase_sum += ph["wall_s"]
         log(f"  phase {ph['name']}: {ph['wall_s']*1e3:.1f} ms")
+    # measured phase overlap (SURVEY §2.9 pipeline-parallel row): the
+    # un-synced prove pipelines device work across phase boundaries via
+    # async dispatch; the synced phase sum is the no-overlap wall
+    overlap = phase_sum - t_pv
+    results["prove_phase_overlap_ms"] = overlap * 1e3
+    log(f"  phase overlap (async dispatch pipelining): {overlap*1e3:.1f} ms "
+        f"({100*overlap/max(phase_sum,1e-9):.0f}% of synced phase sum)")
 
     if args.full_prove:
         cfg = ProverConfig(log2_trace=18, blowup=8, num_queries=16)
