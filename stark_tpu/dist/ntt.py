@@ -83,15 +83,11 @@ class _DistNTT:
         self._plan2 = _SubPlan(p, self.n2, pow(w, self.n1, p))
         # twiddle table w^(j2*k1), shape (n2, n1), Montgomery form,
         # built on device with log-depth doubling
-        if f.width == 1:  # host-built constant table (no XLA compile)
-            import jax.numpy as _jnp
+        # host-built constant table (no XLA compile), either field width
+        import jax.numpy as _jnp
 
-            self._twiddle = _jnp.asarray(f.host_geometric_table(
-                f.host_powers(w, self.n2), self.n1, mont=True))
-        else:
-            ratios = f.jit_powers(w, self.n2)
-            self._twiddle = f.jit_to_mont(
-                f.jit_geometric_table(ratios, self.n1))
+        self._twiddle = _jnp.asarray(f.host_geometric_table(
+            f.host_powers(w, self.n2), self.n1, mont=True))
         self._ninv_mont = _U32(pow(n, p - 2, p) * f.r % p)
         self._jit_cache = {}
 

@@ -305,6 +305,76 @@ class Fp64Goldilocks:
             n = a.shape[axis]
         return jnp.squeeze(a, axis=axis)
 
+    # -- host constant-table builders ---------------------------------------
+    # Same contract as fp.Fp.host_*: static-argument tables built with
+    # vectorized numpy (no XLA compile), output in the class's device
+    # layout ((2, ...) u32 limb pairs).  mulmod uses the classic
+    # Goldilocks 128-bit reduction (2^64 = 2^32 - 1, 2^96 = -1 mod p) on
+    # wrapping uint64, cross-checked against python ints in tests.
+    @staticmethod
+    def _np_mulmod(a, b):
+        import numpy as np
+
+        M32 = np.uint64(0xFFFFFFFF)
+        s32 = np.uint64(32)
+        with np.errstate(over="ignore"):
+            a0, a1 = a & M32, a >> s32
+            b0, b1 = b & M32, b >> s32
+            ll = a0 * b0
+            lh = a0 * b1
+            hl = a1 * b0
+            hh = a1 * b1
+            m = lh + hl
+            cm = (m < lh).astype(np.uint64)
+            lo = ll + ((m & M32) << s32)
+            cl = (lo < ll).astype(np.uint64)
+            hi = hh + (m >> s32) + (cm << s32) + cl
+            n1, n2 = hi & M32, hi >> s32
+            borrow = lo < n2
+            t = lo - n2
+            t = np.where(borrow, t - M32, t)  # 2^64 = eps (mod p)
+            t1 = n1 * M32  # n1 * eps, < 2^64
+            r = t + t1
+            carry = r < t
+            r = np.where(carry, r + M32, r)
+            P = np.uint64(GOLDILOCKS)
+            return np.where(r >= P, r - P, r)
+
+    @staticmethod
+    def _np_pair(u64):
+        import numpy as np
+
+        return np.stack([(u64 >> np.uint64(32)).astype(np.uint32),
+                         (u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)])
+
+    def host_powers(self, base: int, count: int, mont: bool = False):
+        import numpy as np
+
+        base = int(base) % self.p
+        out = np.ones(1, dtype=np.uint64)
+        c = 1
+        while c < count:
+            out = np.concatenate(
+                [out, self._np_mulmod(out, np.uint64(pow(base, c, self.p)))])
+            c *= 2
+        return self._np_pair(out[:count])  # mont is the identity here
+
+    def host_geometric_table(self, ratios, count: int, mont: bool = False):
+        """ratios: (2, m) limb pairs (host or device) -> (2, m, count)."""
+        import numpy as np
+
+        r = np.asarray(ratios, dtype=np.uint64)
+        r = (r[0] << np.uint64(32)) | r[1]
+        cols = np.ones(r.shape + (1,), dtype=np.uint64)
+        cur = r[..., None]
+        c = 1
+        while c < count:
+            cols = np.concatenate(
+                [cols, self._np_mulmod(cols, cur)], axis=-1)[..., :count]
+            cur = self._np_mulmod(cur, cur)
+            c *= 2
+        return self._np_pair(cols)
+
     # -- jitted entry points ----------------------------------------------
     @functools.cached_property
     def jit_add(self):
@@ -342,17 +412,30 @@ class Fp64Goldilocks:
     def jit_sum(self):
         return jax.jit(self.sum)
 
+    # Constant-table builders answer from host numpy (see host_powers):
+    # the device doubling builds cost an XLA compile per (size, base) —
+    # and on XLA:CPU the deep mul chains need chain_break scaffolding —
+    # while the tables are compile-time constants.
     @functools.cached_property
     def jit_powers(self):
-        return jax.jit(self.powers, static_argnums=(0, 1))
+        return lambda base, count: jnp.asarray(self.host_powers(base, count))
 
     @functools.cached_property
     def jit_geometric_table(self):
-        return jax.jit(self.geometric_table, static_argnums=1)
+        return lambda ratios, count: jnp.asarray(
+            self.host_geometric_table(ratios, count))
 
     @functools.cached_property
     def jit_coset_domain(self):
-        return jax.jit(self.coset_domain, static_argnums=(0, 1, 2))
+        import numpy as np
+
+        def run(offset: int, omega: int, size: int):
+            pw = self.host_powers(omega, size)
+            u64 = (pw[0].astype(np.uint64) << np.uint64(32)) | pw[1]
+            dom = self._np_mulmod(u64, np.uint64(int(offset) % self.p))
+            return jnp.asarray(self._np_pair(dom))
+
+        return run
 
     # -- domain helpers ----------------------------------------------------
     def two_adic_root(self, order: int, generator: int) -> int:

@@ -171,16 +171,8 @@ class FourStepPlan:
 
 @functools.lru_cache(maxsize=None)
 def _twiddle_table(p: int, n1: int, n2: int, w: int):
-    """T[k1, j2] = w^(j2*k1), Montgomery form.  Width-1 fields build the
-    constant table on host (no XLA compile, see fp.host_powers); two-limb
-    fields keep the device doubling build."""
+    """T[k1, j2] = w^(j2*k1), Montgomery form — host-built constants
+    (fp.host_powers / fp64.host_powers; zero XLA compile)."""
     f = Fp.get(p)
-    if f.width == 1:
-        return jnp.asarray(
-            f.host_geometric_table(f.host_powers(w, n1), n2, mont=True))
-
-    def build():
-        ratios = f.powers(w, n1)
-        return f.to_mont(f.geometric_table(ratios, n2))
-
-    return jax.jit(build)()
+    return jnp.asarray(
+        f.host_geometric_table(f.host_powers(w, n1), n2, mont=True))

@@ -164,32 +164,18 @@ def stockham_stages(fp: Fp, n: int, xm, twiddles):
 
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles(p: int, n: int, w: int) -> tuple:
-    """All Stockham stage twiddles (mont form).  Width-1 fields build the
-    constants on host (fp.host_powers — zero XLA compile); two-limb
-    fields keep the one-jit device doubling build."""
+    """All Stockham stage twiddles (mont form), built on host — the
+    tables are compile-time constants, so the device doubling build was
+    pure XLA-compile cost (fp.host_powers / fp64.host_powers)."""
     f = Fp.get(p)
-    if f.width == 1:
-        out = []
-        l = n
-        while l > 1:
-            lh = l // 2
-            wl = pow(w, n // l, p)
-            out.append(jnp.asarray(f.host_powers(wl, lh, mont=True)))
-            l = lh
-        return tuple(out)
-
-    def build():
-        out = []
-        l = n
-        while l > 1:
-            lh = l // 2
-            wl = pow(w, n // l, p)
-            t = f.to_mont(f.powers(wl, lh)) if lh > 1 else f.ones_mont(1)
-            out.append(t)
-            l = lh
-        return tuple(out)
-
-    return jax.jit(build)()
+    out = []
+    l = n
+    while l > 1:
+        lh = l // 2
+        wl = pow(w, n // l, p)
+        out.append(jnp.asarray(f.host_powers(wl, lh, mont=True)))
+        l = lh
+    return tuple(out)
 
 
 class NTTPlan:

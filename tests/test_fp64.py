@@ -70,6 +70,22 @@ def test_tables(f):
     assert s == [sum(_rand_ints(21)) % P]
 
 
+def test_np_mulmod_fuzz(f):
+    """The host numpy Goldilocks mulmod (128-bit reduction on wrapping
+    u64) vs python ints, including boundary-heavy operands."""
+    rng = np.random.default_rng(7)
+    special = [0, 1, 2, P - 1, P - 2, (1 << 32) - 1, 1 << 32,
+               (1 << 32) + 1, P - (1 << 32), (1 << 63) % P]
+    a = np.array(special + list(rng.integers(0, P, 500, dtype=np.uint64)),
+                 dtype=np.uint64)
+    b = np.array(list(reversed(special))
+                 + list(rng.integers(0, P, 500, dtype=np.uint64)),
+                 dtype=np.uint64)
+    got = Fp64Goldilocks._np_mulmod(a, b)
+    for i in range(len(a)):
+        assert int(got[i]) == int(a[i]) * int(b[i]) % P, i
+
+
 def test_ntt_roundtrip_and_dft(f):
     from stark_tpu.ntt.ntt import get_plan
     from stark_tpu.ntt.reference_ntt import root_of_unity
