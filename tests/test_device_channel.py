@@ -58,6 +58,27 @@ def test_nonempty_initial_state():
     assert int(np.asarray(v)) == beta.value
 
 
+@pytest.mark.parametrize("value", [0, 1, 2338775057, (1 << 63) + 12345,
+                                   (1 << 64) - 1])
+def test_absorb_value_matches_host_send(value):
+    """absorb_value (the FRI final-constant send framing, used by the
+    single-fetch prove) must match channel.send(value.to_bytes(8))."""
+    import jax
+
+    from stark_tpu.channel.device_channel import absorb_value
+
+    p = DEFAULT_MODULUS
+    host = Channel(p)
+    host.send(b"seed")
+    state = _digest_arr(bytes.fromhex(host.state))
+    host.send(int(value).to_bytes(8, "big"))
+    hi = jnp.uint32(value >> 32)
+    lo = jnp.uint32(value & 0xFFFFFFFF)
+    dev = jax.jit(absorb_value)(state, hi, lo)
+    dev_hex = np.asarray(dev).astype(">u4").tobytes().hex()
+    assert dev_hex == host.state
+
+
 def test_draw_before_absorb_raises():
     with pytest.raises(ValueError, match="empty channel state"):
         DeviceFS(DEFAULT_MODULUS).draw()
