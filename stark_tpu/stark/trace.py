@@ -112,8 +112,6 @@ def _trace_poly_jit(p: int, n: int):
     f = Fp.get(p)
     plan_i = get_plan(p, n, True)
     g = root_of_unity(p, n)
-    # correction vector: g^{i+1} for i in [0, n)
-    corr = None  # built lazily inside jit via powers
 
     def run(trace):
         shape = (2, n) if f.width > 1 else (n,)
