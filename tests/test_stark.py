@@ -170,6 +170,10 @@ class TestSoundness:
         tr[10] = (tr[10] + 1) % p  # break the recurrence mid-trace
         import jax.numpy as jnp
 
+        # strict mode refuses to emit the doomed transcript at all (the
+        # deferred final-constant check in the single-fetch path)
+        with pytest.raises(ValueError, match="fold to a constant"):
+            prove(SMALL, trace=jnp.asarray(tr))
         cheat = prove(SMALL, trace=jnp.asarray(tr), strict=False)
         # same claimed output, broken middle: must fail verification
         cheat_claim = StarkProof(cheat.proof, cheat.a0, cheat.a_last, SMALL)
