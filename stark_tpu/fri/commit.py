@@ -192,20 +192,25 @@ def fri_commit(
 
     from stark_tpu.merkle.tree import _use_pallas_build
 
-    # Fused-layer envelope: the remote TPU compiler HANGS (>15 min, never
-    # returns) on the fused draw+fold+tree+absorb program once the tree is
-    # large (observed at m=2^17 leaves=2^16; the same parts compile in
-    # ~1-3 s as separate programs, and XLA:CPU compiles the fused form
-    # fine at any size).  Until the pinpoint probe (benches/probe_fuse.py)
-    # isolates the combination, fuse only layers whose tree is a single
-    # tail-scan build (<= 2^10 leaves) — the numerous cheap layers where
-    # per-program overhead dominated anyway.
+    # Fused-layer envelope: the remote TPU compile service hung (>15 min,
+    # never returned) on a fused draw+fold+tree+absorb program mid-ladder
+    # (m=2^12, after m=2^17..2^13 compiled in 3.5-5.8 s; HLO size is
+    # smooth across m, so the service itself is suspect).  Until
+    # benches/probe_fuse.py exonerates it on real hardware, TPU-resident
+    # proves fuse only layers whose tree is a single tail-scan build
+    # (<= 2^10 leaves) — the numerous cheap layers where per-program
+    # overhead dominated.  Off-TPU (tests, dryrun) fuses every layer.
     fuse_max_leaves = 1 << 10
+    try:
+        on_tpu = next(iter(evals.devices())).platform == "tpu"
+    except (AttributeError, StopIteration, TypeError):
+        on_tpu = False
 
     size, off = n, offset
     for _ in range(num_folds):
         inv_dom = _inv_domain(p, size, off)
-        if (mesh is None and size // 2 <= fuse_max_leaves
+        if (mesh is None
+                and (not on_tpu or size // 2 <= fuse_max_leaves)
                 and not _use_pallas_build(size // 2, evals)):
             # fused draw+fold+tree+absorb: one program, one dispatch
             out = _layer_jit(p, size)(fs.state, evals, inv_dom)
