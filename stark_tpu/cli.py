@@ -70,6 +70,10 @@ def cmd_prove(args) -> int:
         from stark_tpu.stark import MimcAIR
 
         air = MimcAIR(x0=args.secret, k=args.mimc_key)
+    elif args.air == "fibmul":
+        from stark_tpu.stark import FibMulAIR
+
+        air = FibMulAIR(b0=args.secret)
     else:
         air = None
     proof = prove(cfg, a1=args.secret, mesh=mesh, air=air)
@@ -131,7 +135,7 @@ def main(argv=None) -> int:
     p.add_argument("--secret", type=int, default=3141592,
                    help="the private a_1 / x_0 (default: STARK-101's pi)")
     p.add_argument("--air", default="fibonacci-square",
-                   choices=["fibonacci-square", "mimc3"],
+                   choices=["fibonacci-square", "mimc3", "fibmul"],
                    help="statement family to prove")
     p.add_argument("--mimc-key", type=int, default=777)
     p.add_argument("-o", "--output", default="proof.json")

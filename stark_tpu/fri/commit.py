@@ -285,11 +285,14 @@ def plan_fri_query(bg, slots, index: int, fri_layers, fri_merkles) -> list:
 
 
 def emit_plan(plan, bg, channel: Channel) -> None:
-    """Send a resolved plan in transcript order (8-byte BE values,
-    concatenated sibling digests)."""
+    """Send a resolved plan in transcript order (8-byte BE values, row
+    messages of concatenated column values, concatenated sibling
+    digests)."""
     for kind, h in plan:
         if kind == "v":
             channel.send(bg.scalar(h).to_bytes(8, "big"))
+        elif kind == "vrow":  # multi-column trace row opening
+            channel.send(b"".join(bg.scalar(x).to_bytes(8, "big") for x in h))
         else:
             channel.send(b"".join(bg.digest(x) for x in h))
 

@@ -103,6 +103,30 @@ def sha256_u64_leaves(hi, lo):
     return jnp.stack(out, axis=-1)
 
 
+def sha256_row_leaves(cols):
+    """SHA-256 of multi-column row messages: leaf i hashes the
+    concatenation of each column's value as 8-byte big-endian —
+    H(col_0[i] || ... || col_{C-1}[i]), cols (C, n) uint32 canonical.
+
+    The multi-column commitment's leaf rule (the reference defines no
+    multi-column layout — its trace/composition are 0-byte stubs); C = 1
+    coincides exactly with sha256_u64_leaves.  C <= 6 keeps the message
+    in one compression block (8C + 1 + 8 <= 64 bytes)."""
+    C = int(cols.shape[0])
+    if not 1 <= C <= 6:
+        raise ValueError(f"row leaves support 1..6 columns, got {C}")
+    shape = cols.shape[1:]
+    zero = jnp.zeros(shape, _U32)
+    w = []
+    for c in range(C):
+        w += [zero, cols[c]]  # u64 big-endian: high word 0, low word value
+    w.append(jnp.full(shape, _U32(0x80000000)))
+    w += [zero] * (15 - len(w))
+    w.append(jnp.full(shape, _U32(C * 64)))  # bit length of 8C bytes
+    out = _compress_fixed(_h0_like(shape), w)
+    return jnp.stack(out, axis=-1)
+
+
 def sha256_pairs(left, right):
     """SHA-256 of 64-byte messages (left||right digests), one per lane.
 

@@ -92,13 +92,32 @@ def _tail_scan(level, k: int):
     return [stacked[i, : 1 << (k - 1 - i)] for i in range(k)]
 
 
+def levels_above(level, n: int):
+    """Digest levels above a (n, 8) leaf-digest level: [(ceil(n/2), 8),
+    ..., (1, 8)] — rs_merkle shape (odd promotion); power-of-two tails
+    collapse into one scan (_tail_scan)."""
+    pow2 = n & (n - 1) == 0
+    levels = []
+    size = n
+    while size > 1 and not (pow2 and size <= _TAIL_SIZE):
+        half = size // 2
+        parents = sha256_pairs(level[0 : 2 * half : 2], level[1 : 2 * half : 2])
+        if size % 2:
+            parents = jnp.concatenate([parents, level[2 * half :]], axis=0)
+        level = parents
+        levels.append(level)
+        size = parents.shape[0]
+    if size > 1:  # power-of-two tail: one scan for all small levels
+        levels.extend(_tail_scan(level, size.bit_length() - 1))
+    return levels
+
+
 def build_levels_fn(n: int, wide: bool = False):
     """The raw (traceable) tree build for a fixed leaf count: values (n,)
     uint32 (or (2, n) limb pairs for 64-bit fields, fields/fp64.py) ->
     tuple of digest levels [(n,8), (ceil(n/2),8), ..., (1,8)].  Use this
     to fuse a tree build into a larger jitted program (fri/commit.py's
     per-layer fold+tree+absorb step); `_build_jit` is its standalone jit."""
-    pow2 = n & (n - 1) == 0
 
     def build(values):
         if wide:
@@ -106,19 +125,7 @@ def build_levels_fn(n: int, wide: bool = False):
         else:
             hi = jnp.zeros_like(values)  # field values < 2^32 -> high word 0
         level = sha256_u64_leaves(hi, values)
-        levels = [level]
-        size = n
-        while size > 1 and not (pow2 and size <= _TAIL_SIZE):
-            half = size // 2
-            parents = sha256_pairs(level[0 : 2 * half : 2], level[1 : 2 * half : 2])
-            if size % 2:
-                parents = jnp.concatenate([parents, level[2 * half :]], axis=0)
-            level = parents
-            levels.append(level)
-            size = parents.shape[0]
-        if size > 1:  # power-of-two tail: one scan for all small levels
-            levels.extend(_tail_scan(level, size.bit_length() - 1))
-        return tuple(levels)
+        return tuple([level] + levels_above(level, n))
 
     return build
 
@@ -126,6 +133,20 @@ def build_levels_fn(n: int, wide: bool = False):
 @functools.lru_cache(maxsize=None)
 def _build_jit(n: int, wide: bool = False):
     return jax.jit(build_levels_fn(n, wide))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_columns_jit(c: int, n: int):
+    """Jitted multi-column tree build: (c, n) uint32 values -> digest
+    levels; leaf i = SHA-256(col_0[i] || ... || col_{c-1}[i] as 8-byte
+    BE each) — see hash.sha256_jax.sha256_row_leaves."""
+    from stark_tpu.hash.sha256_jax import sha256_row_leaves
+
+    def build(cols):
+        level = sha256_row_leaves(cols)
+        return tuple([level] + levels_above(level, n))
+
+    return jax.jit(build)
 
 
 class MerkleTree:
@@ -153,6 +174,18 @@ class MerkleTree:
             else:
                 self.levels = _build_jit(n, wide)(values)
         self._host_levels: list[np.ndarray] | None = None
+
+    @classmethod
+    def from_columns(cls, cols) -> "MerkleTree":
+        """Commit a multi-column codeword: cols (C, n) uint32; leaf i =
+        SHA-256 of the row's concatenated 8-byte-BE column values (the
+        layout the multi-column AIRs open per query — verifier hashes the
+        received row message directly as the leaf preimage)."""
+        cols = jnp.asarray(cols, dtype=_U32)
+        if cols.ndim != 2 or cols.shape[0] < 1:
+            raise ValueError("from_columns needs a (C, n) array")
+        c, n = int(cols.shape[0]), int(cols.shape[1])
+        return cls(None, device_levels=_build_columns_jit(c, n)(cols))
 
     @property
     def num_leaves(self) -> int:
@@ -254,6 +287,27 @@ class MerkleTree:
             idx //= 2
             size = (size + 1) // 2
         return not sibs and cur.hex() == root_hex.lower()
+
+
+def merkle_root_host_rows(cols) -> str:
+    """Host oracle for the multi-column tree: leaf = H(row bytes)."""
+    c = len(cols)
+    n = len(cols[0])
+    level = [
+        hashlib.sha256(
+            b"".join(int(cols[j][i]).to_bytes(8, "big") for j in range(c))
+        ).digest()
+        for i in range(n)
+    ]
+    while len(level) > 1:
+        nxt = [
+            hashlib.sha256(level[i] + level[i + 1]).digest()
+            for i in range(0, len(level) - 1, 2)
+        ]
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    return level[0].hex()
 
 
 def merkle_root_host(values: list[int]) -> str:

@@ -69,7 +69,8 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_char_p,
     ]
-    for fn in (lib.stark_fib_trace, lib.stark_mimc_trace):
+    for fn in (lib.stark_fib_trace, lib.stark_mimc_trace,
+               lib.stark_fibmul_trace):
         fn.argtypes = [
             ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
             ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint64),
@@ -143,15 +144,18 @@ def merkle_build_host(values) -> list[bytes]:
 
 def host_trace(kind: str, p: int, arg0: int, arg1: int, n: int):
     """Sequential AIR trace on host (uint64 numpy array of n canonical
-    values), or None when the native lib is unavailable.  kind: "fib"
-    (arg0=a0, arg1=a1) or "mimc" (arg0=x0, arg1=k).  Exact for p < 2^64."""
+    values; (2, n) for the two-column "fibmul"), or None when the native
+    lib is unavailable.  kind: "fib" (arg0=a0, arg1=a1), "mimc" (arg0=x0,
+    arg1=k), or "fibmul" (arg0=a0, arg1=b0).  Exact for p < 2^64."""
     lib = get_lib()
     if lib is None or not (0 < p < 1 << 64):
         return None
     import numpy as np
 
-    out = np.empty(n, dtype=np.uint64)
-    fn = lib.stark_fib_trace if kind == "fib" else lib.stark_mimc_trace
+    fn = {"fib": lib.stark_fib_trace, "mimc": lib.stark_mimc_trace,
+          "fibmul": lib.stark_fibmul_trace}[kind]
+    shape = (2, n) if kind == "fibmul" else (n,)
+    out = np.empty(shape, dtype=np.uint64)
     fn(p, arg0 % p, arg1 % p, n, out.ctypes.data_as(
         ctypes.POINTER(ctypes.c_uint64)))
     return out

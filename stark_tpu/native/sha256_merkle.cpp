@@ -237,4 +237,19 @@ void stark_mimc_trace(uint64_t p, uint64_t x0, uint64_t k, size_t n,
   }
 }
 
+// Two-column multiplicative Fibonacci (stark/air.py FibMulAIR):
+// a_{i+1} = b_i, b_{i+1} = a_i * b_i.  Writes both columns interleaved
+// into out as [a_0..a_{n-1}, b_0..b_{n-1}] (row-major (2, n)).
+void stark_fibmul_trace(uint64_t p, uint64_t a0, uint64_t b0, size_t n,
+                        uint64_t* out) {
+  uint64_t a = a0 % p, b = b0 % p;
+  for (size_t i = 0; i < n; i++) {
+    out[i] = a;
+    out[n + i] = b;
+    uint64_t nb = mulmod64(a, b, p);
+    a = b;
+    b = nb;
+  }
+}
+
 }  // extern "C"

@@ -2,7 +2,7 @@ from stark_tpu.stark.trace import fibonacci_square_trace, trace_polynomial
 from stark_tpu.stark.composition import CompositionContext, get_context
 from stark_tpu.stark.prover import StarkProof, prove
 from stark_tpu.stark.verifier import StarkVerificationError, verify
-from stark_tpu.stark.air import AIR, FibonacciSquareAIR, MimcAIR, air_from_name
+from stark_tpu.stark.air import AIR, FibMulAIR, FibonacciSquareAIR, MimcAIR, air_from_name
 from stark_tpu.stark.checkpoint import ProverCheckpoint, prove_resumable
 from stark_tpu.stark.batch import prove_batch
 
@@ -10,6 +10,6 @@ __all__ = [
     "fibonacci_square_trace", "trace_polynomial",
     "CompositionContext", "get_context",
     "StarkProof", "prove", "verify", "StarkVerificationError",
-    "AIR", "FibonacciSquareAIR", "MimcAIR", "air_from_name",
+    "AIR", "FibonacciSquareAIR", "MimcAIR", "FibMulAIR", "air_from_name",
     "ProverCheckpoint", "prove_resumable", "prove_batch",
 ]

@@ -45,6 +45,7 @@ class AIR:
     name: str = "abstract"
     shifts: tuple[int, ...] = (0,)
     num_alphas: int = 0
+    num_columns: int = 1  # trace columns; >1 commits rows (from_columns)
 
     def build_trace(self, cfg: ProverConfig):
         raise NotImplementedError
@@ -84,7 +85,7 @@ def _elem_int(trace, i: int) -> int:
 
         ends = host_endpoints(trace)
         if ends is not None:
-            return ends[0] if i == 0 else ends[1]
+            return int(ends[0] if i == 0 else ends[1])
     sl = trace[..., i : i + 1] if i >= 0 else trace[..., i:]
     vals = np.asarray(sl).astype(np.uint64).reshape(-1)
     if trace.ndim == 2:
@@ -358,10 +359,144 @@ REGISTRY: dict[str, type[AIR]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Two-column multiplicative Fibonacci — the multi-column family
+# ---------------------------------------------------------------------------
+class FibMulAIR(AIR):
+    """a_{i+1} = b_i, b_{i+1} = a_i * b_i over GF(p), a TWO-column trace:
+    exercises the multi-column pipeline (batched column INTT/NTT, row-leaf
+    commitment MerkleTree.from_columns, per-row multi-value openings).
+
+    Publics: input a_0, b_0, and the claimed output b_{T-1}.  Degree-2
+    transition, CP degree < N => log2(N) folds like Fibonacci-square.
+    The reference defines no multi-column layout (its trace/composition
+    are 0-byte stubs); this family freezes ours under test."""
+
+    name = "fibmul"
+    shifts = (0, 1)
+    num_alphas = 5
+    num_columns = 2
+
+    def __init__(self, a0: int = 1, b0: int = 2718281):
+        self.a0 = a0
+        self.b0 = b0
+
+    def validate(self, cfg: ProverConfig) -> None:
+        cfg.validate()
+        if Fp.get(cfg.modulus).width != 1:
+            raise ValueError("FibMulAIR currently supports < 2^32 moduli")
+
+    def build_trace(self, cfg: ProverConfig):
+        import os
+
+        from stark_tpu.fields.fp import Fp as _Fp
+
+        p = cfg.modulus
+        if not os.environ.get("STARK_TPU_DEVICE_TRACE"):
+            from stark_tpu.native import host_trace
+            from stark_tpu.stark.trace import upload_trace
+
+            host = host_trace("fibmul", p, self.a0, self.b0,
+                              cfg.trace_length)
+            if host is not None:
+                return upload_trace(host, p)
+        f = _Fp.get(p)
+        return _fibmul_trace_jit(p, cfg.trace_length)(
+            f.const(self.a0), f.const(self.b0))
+
+    def publics(self, trace) -> dict:
+        from stark_tpu.stark.trace import host_endpoints
+
+        ends = host_endpoints(trace)
+        if ends is not None:
+            first, last = ends  # (2,) per-column endpoints
+            return {"input": int(first[0]), "output": int(last[1]),
+                    "b0": int(first[1])}
+        t0 = np.asarray(trace[..., :1]).reshape(-1)
+        tl = np.asarray(trace[..., -1:]).reshape(-1)
+        return {"input": int(t0[0]), "output": int(tl[1]), "b0": int(t0[1])}
+
+    def num_folds(self, cfg: ProverConfig) -> int:
+        return cfg.log2_trace  # CP degree < N
+
+    def context(self, cfg: ProverConfig):
+        return _FibMulContext(cfg)
+
+
+@functools.lru_cache(maxsize=None)
+def _fibmul_trace_jit(p: int, length: int):
+    f = Fp.get(p)
+
+    def gen(a0, b0):
+        def step(carry, _):
+            a, b = carry
+            return (b, f.mul(a, b)), jnp.stack([a, b])
+
+        _, out = jax.lax.scan(step, (a0, b0), None, length=length)
+        return out.T  # (2, length)
+
+    return jax.jit(gen)
+
+
+class _FibMulContext(_BaseContext):
+    def __init__(self, cfg: ProverConfig):
+        super().__init__(cfg)
+        p = cfg.modulus
+        g, N = self.g, self.N
+        self.inv_b0 = self.boundary_inv(1)
+        self.inv_b1 = self.boundary_inv(pow(g, N - 2, p))
+        # transition holds at g^0..g^{T-2}; excluded: g^{N-2}, g^{N-1}
+        self.trans_mult = self.zerofier_inv_excluding(
+            (pow(g, N - 2, p), pow(g, N - 1, p))
+        )
+        self._jit = jax.jit(self._compose_tables)
+
+    def _compose_tables(self, lde, alphas, a0, b0, b_last, inv_b0, inv_b1,
+                        trans_mult):
+        f = self.fp
+        blw = self.cfg.blowup
+        a_x, b_x = lde[0], lde[1]
+        a_gx = jnp.roll(a_x, -blw, axis=-1)
+        b_gx = jnp.roll(b_x, -blw, axis=-1)
+        p0 = f.mul(f.sub(a_x, a0), inv_b0)
+        p1 = f.mul(f.sub(b_x, b0), inv_b0)
+        p2 = f.mul(f.sub(b_x, b_last), inv_b1)
+        t1 = f.mul(f.sub(a_gx, b_x), trans_mult)
+        t2 = f.mul(f.sub(b_gx, f.mul(a_x, b_x)), trans_mult)
+        acc = f.mul(alphas[0], p0)
+        for al, term in zip(alphas[1:], (p1, p2, t1, t2)):
+            acc = f.add(acc, f.mul(al, term))
+        return acc
+
+    def compose(self, lde, alphas, publics: dict):
+        return self._jit(lde, _alphas_arr(alphas, self.fp.p),
+                         self._bc(publics["input"]), self._bc(publics["b0"]),
+                         self._bc(publics["output"]),
+                         self.inv_b0, self.inv_b1, self.trans_mult)
+
+    def cp_at(self, x: int, opened: list, alphas, publics: dict) -> int:
+        p = self.fp.p
+        N, g = self.N, self.g
+        (ax, bx), (agx, bgx) = opened
+        a0, b0, bl = publics["input"], publics["b0"], publics["output"]
+        inv_x1 = pow((x - 1) % p, p - 2, p)
+        p0 = (ax - a0) * inv_x1 % p
+        p1 = (bx - b0) * inv_x1 % p
+        p2 = (bx - bl) * pow((x - pow(g, N - 2, p)) % p, p - 2, p) % p
+        quad = (x - pow(g, N - 2, p)) * (x - pow(g, N - 1, p)) % p
+        tm = quad * pow((pow(x, N, p) - 1) % p, p - 2, p) % p
+        t1 = (agx - bx) * tm % p
+        t2 = (bgx - ax * bx) * tm % p
+        return sum(al * t % p
+                   for al, t in zip(alphas, (p0, p1, p2, t1, t2))) % p
+
+
 def air_from_name(name: str, publics: dict) -> AIR:
     """Reconstruct a verifier-side AIR instance from a proof's statement."""
     if name == FibonacciSquareAIR.name:
         return FibonacciSquareAIR(a0=publics.get("a0", 1))
     if name == MimcAIR.name:
         return MimcAIR(x0=publics.get("input", 0), k=publics.get("k", 0))
+    if name == FibMulAIR.name:
+        return FibMulAIR(a0=publics.get("input", 1), b0=publics.get("b0", 1))
     raise ValueError(f"unknown AIR {name!r}")

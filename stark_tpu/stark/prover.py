@@ -183,8 +183,10 @@ def prove(
     rng = M - max_off
     if channel is None:
         channel = Channel(p)
+    ncols = getattr(air, "num_columns", 1)
     single_fetch = (
         mesh is None
+        and ncols == 1
         and not getattr(channel, "phase_accurate", False)
         and not _os.environ.get("STARK_TPU_HOST_QUERIES")
         and not _os.environ.get("STARK_TPU_PHASE_SYNC")
@@ -202,6 +204,8 @@ def prove(
             from stark_tpu.dist import dist_merkle_tree
 
             trace_tree = dist_merkle_tree(f_evals, mesh)
+        elif ncols > 1:  # row-leaf commitment over all columns
+            trace_tree = MerkleTree.from_columns(f_evals)
         else:
             trace_tree = MerkleTree(f_evals)
         # device-resident Fiat-Shamir for root absorption + alpha draws (one
@@ -234,6 +238,7 @@ def prove(
     with mx.phase("queries", num_queries=cfg.num_queries):
         if (
             mesh is None
+            and ncols == 1
             and not _os.environ.get("STARK_TPU_HOST_QUERIES")
             and _dq.supported(rng, M, fri_lengths)
         ):
@@ -254,17 +259,26 @@ def prove(
                 collect_query_arrays, emit_plan, plan_fri_query)
             from stark_tpu.utils.gather import BatchGather
 
+            if ncols > 1 and mesh is not None:
+                raise NotImplementedError(
+                    "multi-column proves are single-device for now")
+            cols = (tuple(f_evals[c] for c in range(ncols))
+                    if ncols > 1 else (f_evals,))
             arrays, slots = collect_query_arrays(
                 fri_proof.fri_layers,
                 fri_proof.fri_merkles,
-                extra_arrays=(f_evals, *trace_tree.levels[:-1]),
+                extra_arrays=(*cols, *trace_tree.levels[:-1]),
             )
             for _ in range(cfg.num_queries):
                 idx = channel.receive_random_int(0, M - max_off - 1, True)
                 bg = BatchGather(arrays, mesh=mesh)
                 plan = []
                 for off in offsets:
-                    plan.append(("v", bg.want(slots[id(f_evals)], idx + off)))
+                    # one row message: every column's value, 8-byte BE
+                    # each (for C == 1 byte-identical to the old single
+                    # value send)
+                    plan.append(("vrow", [
+                        bg.want(slots[id(c_)], idx + off) for c_ in cols]))
                     plan.append(
                         (
                             "p",

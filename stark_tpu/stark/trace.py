@@ -61,8 +61,9 @@ _trace_endpoints: dict = {}
 
 
 def host_endpoints(trace):
-    """(first, last) host ints for a trace uploaded via upload_trace, or
-    None if this array was not host-generated."""
+    """(first, last) host values (numpy, per leading lane) for a trace
+    uploaded via upload_trace, or None if this array was not
+    host-generated."""
     return _trace_endpoints.get(id(trace))
 
 
@@ -80,7 +81,7 @@ def upload_trace(host_u64, p: int):
             np.stack([(arr >> np.uint64(32)).astype(np.uint32),
                       (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)]))
     key = id(dev)
-    _trace_endpoints[key] = (int(arr[0]), int(arr[-1]))
+    _trace_endpoints[key] = (arr[..., 0].copy(), arr[..., -1].copy())
     _weakref.finalize(dev, _trace_endpoints.pop, key, None)
     return dev
 
@@ -107,19 +108,19 @@ def fibonacci_square_trace(p: int, length: int, a0: int = 1, a1: int = 3141592):
 
 
 @functools.lru_cache(maxsize=None)
-def _trace_poly_jit(p: int, n: int):
-    """trace (n-1,) -> coeffs (n,) of the degree <= n-2 interpolant."""
+def _trace_poly_jit(p: int, n: int, lead: tuple = ()):
+    """trace (*lead, n-1) -> coeffs (*lead, n) of the degree <= n-2
+    interpolants — `lead` carries multi-column traces (C,) and/or the
+    64-bit limb plane (2,), each lane interpolated independently (one
+    batched INTT)."""
     f = Fp.get(p)
     plan_i = get_plan(p, n, True)
     g = root_of_unity(p, n)
 
     def run(trace):
-        shape = (2, n) if f.width > 1 else (n,)
-        padded = jnp.zeros(shape, _U32).at[..., : n - 1].set(trace)
+        padded = jnp.zeros(lead + (n,), _U32).at[..., : n - 1].set(trace)
         coeffs0 = plan_i(padded)
-        tail = coeffs0[..., n - 1]
-        if f.width > 1:
-            tail = tail[:, None]
+        tail = coeffs0[..., n - 1 : n]  # keep-dim: broadcasts over lead
         gp = f.mul(f.powers(g, n), f.const(g))  # g^{i+1}
         return f.sub(coeffs0, f.mul(gp, tail))
 
@@ -127,9 +128,10 @@ def _trace_poly_jit(p: int, n: int):
 
 
 def trace_polynomial(trace, p: int):
-    """Coefficients (N,) of STARK-101's trace interpolant, top coefficient
-    identically zero (degree <= N-2)."""
+    """Coefficients (..., N) of STARK-101's trace interpolant, top
+    coefficient identically zero (degree <= N-2); leading axes (columns,
+    limb planes) batch."""
     n = int(trace.shape[-1]) + 1
     if n & (n - 1):
         raise ValueError("trace length must be 2^k - 1")
-    return _trace_poly_jit(p, n)(trace)
+    return _trace_poly_jit(p, n, tuple(trace.shape[:-1]))(trace)

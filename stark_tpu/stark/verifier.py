@@ -80,19 +80,29 @@ def verify(proof: StarkProof, air=None, *, expected_config=None,
         )
         roots, betas, final_value = replay_commit(ch, air.num_folds(cfg))
 
+        ncols = getattr(air, "num_columns", 1)
         for q in range(cfg.num_queries):
             idx = ch.receive_random_int(0, M - max_off - 1, True)
             opened = []
             for off in offsets:
-                val = int.from_bytes(ch.read(), "big")
+                # row message: ncols values, 8-byte BE each; its raw bytes
+                # are exactly the committed leaf's preimage
+                msg = ch.read()
+                if len(msg) != 8 * ncols:
+                    raise StarkVerificationError(
+                        f"query {q}: row opening is {len(msg)} bytes, "
+                        f"expected {8 * ncols}"
+                    )
                 path = ch.read()
                 if not MerkleTree.validate(
-                    trace_root, path, idx + off, val.to_bytes(8, "big"), M
+                    trace_root, path, idx + off, msg, M
                 ):
                     raise StarkVerificationError(
                         f"query {q}: trace Merkle proof fails at offset {off}"
                     )
-                opened.append(val)
+                vals = [int.from_bytes(msg[8 * i : 8 * i + 8], "big")
+                        for i in range(ncols)]
+                opened.append(vals[0] if ncols == 1 else tuple(vals))
             x = h * pow(w, idx, p) % p
             cp_expected = ctx.cp_at(x, opened, alphas, publics)
             verify_query_layers(

@@ -118,11 +118,104 @@ class TestMimcSoundness:
             verify(bad)
 
 
+class TestFibMul:
+    """The two-column family: multi-column trace, row-leaf commitment,
+    multi-value row openings."""
+
+    def _prove(self, **kw):
+        from stark_tpu.stark import FibMulAIR
+
+        return prove(CFG, air=FibMulAIR(a0=1, b0=2718281), **kw)
+
+    def test_trace_recurrence_and_publics(self):
+        from stark_tpu.stark import FibMulAIR
+
+        air = FibMulAIR(a0=3, b0=5)
+        tr = np.asarray(air.build_trace(CFG)).astype(np.uint64)
+        assert tr.shape == (2, CFG.trace_length)
+        a, b = 3, 5
+        for i in range(CFG.trace_length):
+            assert (int(tr[0][i]), int(tr[1][i])) == (a, b), i
+            a, b = b, a * b % P
+        pub = air.publics(air.build_trace(CFG))
+        assert pub["input"] == 3 and pub["b0"] == 5
+        assert pub["output"] == int(tr[1][-1])
+
+    def test_host_trace_matches_device_scan(self, monkeypatch):
+        from stark_tpu.native import host_trace
+        from stark_tpu.stark import FibMulAIR
+
+        if host_trace("fibmul", 97, 1, 2, 4) is None:
+            pytest.skip("native lib unavailable")
+        air = FibMulAIR(a0=1, b0=2718281)
+        t_host = np.asarray(air.build_trace(CFG))
+        monkeypatch.setenv("STARK_TPU_DEVICE_TRACE", "1")
+        t_dev = np.asarray(air.build_trace(CFG))
+        assert np.array_equal(t_host, t_dev)
+
+    def test_roundtrip_and_deterministic(self):
+        pr = self._prove()
+        assert verify(pr, expected_config=CFG)
+        assert pr.proof == self._prove().proof
+
+    def test_row_opening_is_leaf_preimage(self):
+        """The trace commitment is over row messages: recompute the root
+        from the raw columns with the host oracle."""
+        from stark_tpu.merkle.tree import merkle_root_host_rows
+        from stark_tpu.ntt.ntt import coset_evaluate
+        from stark_tpu.stark import FibMulAIR
+        from stark_tpu.stark.trace import trace_polynomial
+
+        air = FibMulAIR(a0=1, b0=2718281)
+        tr = air.build_trace(CFG)
+        lde = np.asarray(coset_evaluate(
+            trace_polynomial(tr, P), P, CFG.eval_domain_size, CFG.offset))
+        pr = self._prove()
+        assert pr.proof[0].decode() == merkle_root_host_rows(lde.tolist())
+
+    def test_tampering_rejected(self):
+        pr = self._prove()
+        for i in [0, 1, 5, len(pr.proof) // 2, len(pr.proof) - 1]:
+            msgs = [bytes(m) for m in pr.proof]
+            bb = bytearray(msgs[i])
+            bb[-1] ^= 1
+            msgs[i] = bytes(bb)
+            bad = StarkProof(msgs, pr.a0, pr.a_last, pr.config,
+                             pr.air_name, pr.extra_publics)
+            with pytest.raises(StarkVerificationError):
+                verify(bad)
+
+    def test_wrong_output_rejected(self):
+        pr = self._prove()
+        bad = StarkProof(pr.proof, pr.a0, (pr.a_last + 1) % P, pr.config,
+                         pr.air_name, pr.extra_publics)
+        with pytest.raises(StarkVerificationError):
+            verify(bad)
+
+    def test_serialize_roundtrip(self):
+        pr = self._prove()
+        rt = StarkProof.deserialize(pr.serialize())
+        assert rt.proof == pr.proof and rt.publics == pr.publics
+        assert verify(rt, expected_config=CFG)
+
+    def test_wide_field_rejected(self):
+        from stark_tpu.stark import FibMulAIR
+
+        cfg64 = ProverConfig(modulus=2**64 - 2**32 + 1, generator=7,
+                             log2_trace=6, blowup=4, num_queries=4)
+        with pytest.raises(ValueError, match="2\\^32"):
+            prove(cfg64, air=FibMulAIR())
+
+
 class TestRegistry:
     def test_air_from_name(self):
         assert isinstance(air_from_name("fibonacci-square", {"a0": 1}),
                           FibonacciSquareAIR)
         m = air_from_name("mimc3", {"input": 7, "k": 9})
         assert isinstance(m, MimcAIR) and m.k == 9
+        from stark_tpu.stark import FibMulAIR
+
+        fm = air_from_name("fibmul", {"input": 2, "b0": 3, "output": 5})
+        assert isinstance(fm, FibMulAIR) and fm.a0 == 2 and fm.b0 == 3
         with pytest.raises(ValueError):
             air_from_name("nope", {})

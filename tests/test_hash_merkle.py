@@ -35,6 +35,46 @@ class TestSha256Device:
         want = [hashlib.sha256(bytes.fromhex("123456789abcdef0")).digest()]
         assert got == want
 
+    def test_row_leaves_match_hashlib_and_u64(self):
+        """Multi-column row leaves H(col0||col1||... 8-byte BE each) vs
+        hashlib; C = 1 coincides with sha256_u64_leaves."""
+        import hashlib
+
+        import jax.numpy as jnp
+
+        from stark_tpu.hash.sha256_jax import (sha256_row_leaves,
+                                               sha256_u64_leaves)
+
+        rng = np.random.default_rng(5)
+        for C in (1, 2, 3, 6):
+            cols = rng.integers(0, 2**32, (C, 9), dtype=np.uint32)
+            got = np.asarray(sha256_row_leaves(jnp.asarray(cols)))
+            for i in range(9):
+                msg = b"".join(int(cols[c][i]).to_bytes(8, "big")
+                               for c in range(C))
+                want = hashlib.sha256(msg).digest()
+                assert got[i].astype(">u4").tobytes() == want, (C, i)
+            if C == 1:
+                u64 = np.asarray(sha256_u64_leaves(
+                    jnp.zeros(9, jnp.uint32), jnp.asarray(cols[0])))
+                assert np.array_equal(got, u64)
+        with pytest.raises(ValueError):
+            sha256_row_leaves(jnp.zeros((8, 4), jnp.uint32))
+
+    def test_multicolumn_tree_matches_host_oracle(self):
+        from stark_tpu.merkle.tree import merkle_root_host_rows
+
+        rng = np.random.default_rng(6)
+        for C, n in ((2, 64), (3, 33), (5, 1024)):
+            cols = rng.integers(0, 2**31, (C, n), dtype=np.uint32)
+            t = MerkleTree.from_columns(jnp.asarray(cols))
+            assert t.root() == merkle_root_host_rows(cols.tolist()), (C, n)
+            for idx in (0, n - 1, n // 2):
+                msg = b"".join(int(cols[c][idx]).to_bytes(8, "big")
+                               for c in range(C))
+                assert MerkleTree.validate(
+                    t.root(), t.get_authentication_path(idx), idx, msg, n)
+
     def test_pair_hash_matches_hashlib(self):
         rng = np.random.default_rng(0)
         l = rng.integers(0, 1 << 32, size=(5, 8), dtype=np.uint64).astype(np.uint32)
