@@ -9,7 +9,7 @@ import os
 import pytest
 
 from stark_tpu.config import ProverConfig, TEST_MODULUS
-from stark_tpu.stark import MimcAIR, StarkProof, prove, verify
+from stark_tpu.stark import FibMulAIR, MimcAIR, StarkProof, prove, verify
 
 VEC = os.path.join(os.path.dirname(__file__), "vectors", "golden_proofs.json")
 
@@ -20,7 +20,8 @@ def vectors():
         return json.load(fh)
 
 
-@pytest.mark.parametrize("name", ["fib_gf97_2e2", "fib_stark101_2e6", "mimc3_2e5"])
+@pytest.mark.parametrize("name", ["fib_gf97_2e2", "fib_stark101_2e6",
+                                  "mimc3_2e5", "fibmul_2e5"])
 def test_stored_proofs_verify(vectors, name):
     pr = StarkProof.deserialize(json.dumps(vectors[name]).encode())
     assert verify(pr)
@@ -47,4 +48,11 @@ def test_regenerated_mimc_is_byte_identical(vectors):
     cfg = ProverConfig(log2_trace=5, blowup=4, num_queries=3)
     pr = prove(cfg, air=MimcAIR(x0=271828, k=777))
     stored = StarkProof.deserialize(json.dumps(vectors["mimc3_2e5"]).encode())
+    assert pr.proof == stored.proof
+
+
+def test_regenerated_fibmul_is_byte_identical(vectors):
+    cfg = ProverConfig(log2_trace=5, blowup=4, num_queries=3)
+    pr = prove(cfg, air=FibMulAIR(a0=1, b0=2718281))
+    stored = StarkProof.deserialize(json.dumps(vectors["fibmul_2e5"]).encode())
     assert pr.proof == stored.proof
