@@ -94,10 +94,21 @@ def _pad_row(msg_bytes: int) -> np.ndarray:
 
 
 _CHAIN_ROW = np.zeros(16, dtype=np.uint32)       # placeholder (first=True)
-# value send: block = 16 hex chars of the 8-byte BE value + pad in-block
-_VALUE_TAIL = np.zeros(12, dtype=np.uint32)
-_VALUE_TAIL[0] = 0x80000000
-_VALUE_TAIL[11] = (64 + 16) * 8                  # 80-byte message
+
+
+def _value_tail(ncols: int = 1) -> np.ndarray:
+    """Tail words of a value-send payload block: a row message of `ncols`
+    8-byte BE values is 16*ncols hex chars; the payload block is
+    [4*ncols hex words][0x80][zeros][bit length].  ncols <= 3 keeps it in
+    one block (16*ncols + 9 <= 64 bytes)."""
+    words = 4 * ncols
+    tail = np.zeros(16 - words, dtype=np.uint32)
+    tail[0] = 0x80000000
+    tail[-1] = (64 + 16 * ncols) * 8
+    return tail
+
+
+_VALUE_TAIL = _value_tail(1)                     # 80-byte message
 
 
 def _mod_weights(rng: int) -> np.ndarray:
@@ -159,11 +170,14 @@ class DeviceQueryPlan:
 
     def __init__(self, rng: int, num_queries: int, offsets: tuple,
                  trace_len: int | None, fri_lengths: tuple,
-                 elem_width: int = 1):
+                 elem_width: int = 1, num_columns: int = 1):
         if rng <= 0 or rng >= 1 << 32:
             raise ValueError(f"draw range {rng} not in [1, 2^32)")
         if elem_width not in (1, 2):
             raise ValueError(f"elem_width must be 1 or 2, got {elem_width}")
+        if not 1 <= num_columns <= 3 or (num_columns > 1 and elem_width != 1):
+            raise ValueError(
+                "device query phase supports 1..3 u32 trace columns")
         for ln in (fri_lengths + ((trace_len,) if trace_len else ())):
             if ln & (ln - 1):
                 raise ValueError("device query phase needs power-of-two sizes")
@@ -172,6 +186,7 @@ class DeviceQueryPlan:
         self.offsets = tuple(int(o) for o in offsets)
         self.trace_len = trace_len
         self.elem_width = elem_width
+        self.num_columns = num_columns
         self.fri_lengths = tuple(int(x) for x in fri_lengths)
         self.script = build_script(len(self.offsets), self.fri_lengths)
         self._weights = jnp.asarray(_mod_weights(rng))
@@ -243,12 +258,19 @@ class DeviceQueryPlan:
                             j = j ^ _U32(half[l])
                         v = fri_layers[l][..., j]
                     outs.append(v)
-                    # 16 hex chars of the 8-byte BE value -> 4 packed words
-                    words = v if self.elem_width == 2 else jnp.stack(
-                        [jnp.zeros((), _U32), v])
-                    hv = _hex_rows(words)  # (4,)
+                    if src[0] == "trace_v" and self.num_columns > 1:
+                        # row message: each column as u64 BE (high word 0)
+                        words = jnp.stack(
+                            [jnp.zeros_like(v), v], axis=-1).reshape(-1)
+                        tail = _value_tail(self.num_columns)
+                    else:
+                        # 16 hex chars of the 8-byte BE value
+                        words = v if self.elem_width == 2 else jnp.stack(
+                            [jnp.zeros((), _U32), v])
+                        tail = _VALUE_TAIL
+                    hv = _hex_rows(words)
                     rows.append(
-                        jnp.concatenate([hv, jnp.asarray(_VALUE_TAIL)])[None])
+                        jnp.concatenate([hv, jnp.asarray(tail)])[None])
                 else:  # path
                     if src[0] == "trace_p":
                         j = idx + _U32(offsets[src[1]])
@@ -341,6 +363,12 @@ class DeviceQueryPlan:
                 data = outs_h[cursor][q]
                 cursor += 1
                 if op[0] == "value":
+                    src = op[1]
+                    if src[0] == "trace_v" and self.num_columns > 1:
+                        arr = np.asarray(data).reshape(-1)
+                        channel.send(b"".join(
+                            int(x).to_bytes(8, "big") for x in arr))
+                        continue
                     if self.elem_width == 2:
                         val = int(data[0]) << 32 | int(data[1])
                     else:
@@ -362,15 +390,16 @@ class DeviceQueryPlan:
 @functools.lru_cache(maxsize=None)
 def get_plan(rng: int, num_queries: int, offsets: tuple,
              trace_len: int | None, fri_lengths: tuple,
-             elem_width: int = 1) -> DeviceQueryPlan:
+             elem_width: int = 1, num_columns: int = 1) -> DeviceQueryPlan:
     return DeviceQueryPlan(rng, num_queries, offsets, trace_len, fri_lengths,
-                           elem_width)
+                           elem_width, num_columns)
 
 
-def supported(rng: int, trace_len: int | None, fri_lengths) -> bool:
+def supported(rng: int, trace_len: int | None, fri_lengths,
+              num_columns: int = 1) -> bool:
     """Whether the device path handles this configuration (power-of-two
-    sizes, draw range below 2^32)."""
-    if not 0 < rng < 1 << 32:
+    sizes, draw range below 2^32, <= 3 trace columns)."""
+    if not 0 < rng < 1 << 32 or not 1 <= num_columns <= 3:
         return False
     sizes = list(fri_lengths) + ([trace_len] if trace_len else [])
     return all(s > 0 and not (s & (s - 1)) for s in sizes)

@@ -186,17 +186,16 @@ def prove(
     ncols = getattr(air, "num_columns", 1)
     single_fetch = (
         mesh is None
-        and ncols == 1
         and not getattr(channel, "phase_accurate", False)
         and not _os.environ.get("STARK_TPU_HOST_QUERIES")
         and not _os.environ.get("STARK_TPU_PHASE_SYNC")
-        and _dq.supported(rng, M, fri_lengths)
+        and _dq.supported(rng, M, fri_lengths, ncols)
     )
 
     if single_fetch:
         return _prove_single_fetch(
             cfg, air, channel, f_evals, publics, pub_vals, offsets, rng,
-            fri_lengths, strict, mx, _sync)
+            fri_lengths, strict, mx, _sync, ncols)
 
     channel.mark_phase("trace-commit")
     with mx.phase("trace-commit", leaves=M):
@@ -238,15 +237,14 @@ def prove(
     with mx.phase("queries", num_queries=cfg.num_queries):
         if (
             mesh is None
-            and ncols == 1
             and not _os.environ.get("STARK_TPU_HOST_QUERIES")
-            and _dq.supported(rng, M, fri_lengths)
+            and _dq.supported(rng, M, fri_lengths, ncols)
         ):
             from stark_tpu.fields.fp import Fp as _Fp
 
             _dq.get_plan(
                 rng, cfg.num_queries, tuple(offsets), M, fri_lengths,
-                elem_width=_Fp.get(p).width,
+                elem_width=_Fp.get(p).width, num_columns=ncols,
             ).run(
                 channel,
                 f_evals,
@@ -314,7 +312,8 @@ def _finish_proof(cfg, air, channel, publics, pub_vals, mx) -> StarkProof:
 
 
 def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,
-                        offsets, rng, fri_lengths, strict, mx, _sync):
+                        offsets, rng, fri_lengths, strict, mx, _sync,
+                        ncols: int = 1):
     """The whole prove after trace-LDE with a device-resident Fiat-Shamir
     state and exactly ONE device->host transfer: trace commit + alpha
     draws + FRI chain + query phase dispatch device-side, then one fetch
@@ -331,7 +330,8 @@ def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,
     num_folds = len(fri_lengths) - 1
 
     with mx.phase("trace-commit", leaves=M):
-        trace_tree = MerkleTree(f_evals)
+        trace_tree = (MerkleTree.from_columns(f_evals) if ncols > 1
+                      else MerkleTree(f_evals))
         fs = DeviceFS(p, channel.state)
         fs.mark("trace-commit")
         fs.absorb_root(trace_tree.levels[-1][0])
@@ -365,7 +365,8 @@ def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,
 
     with mx.phase("queries", num_queries=cfg.num_queries):
         plan = _dq.get_plan(rng, cfg.num_queries, tuple(offsets), M,
-                            fri_lengths, elem_width=_Fp.get(p).width)
+                            fri_lengths, elem_width=_Fp.get(p).width,
+                            num_columns=ncols)
         dev = plan.run_device(
             fs.state, f_evals, trace_tree.levels[:-1],
             fri_proof.fri_layers,
