@@ -100,6 +100,22 @@ class TestProveVerify:
         monkeypatch.setenv("STARK_TPU_PHASE_SYNC", "1")
         assert prove(SMALL).proof == small_proof.proof
 
+    def test_single_fetch_path_is_taken(self, monkeypatch):
+        """Guard against silent fallback: a plain single-device prove must
+        go through _prove_single_fetch."""
+        import stark_tpu.stark.prover as prover_mod
+
+        called = {}
+        orig = prover_mod._prove_single_fetch
+
+        def spy(*a, **k):
+            called["hit"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(prover_mod, "_prove_single_fetch", spy)
+        prove(SMALL)
+        assert called.get("hit"), "single-fetch fast path not taken"
+
     def test_deterministic(self):
         a = prove(SMALL)
         b = prove(SMALL)
