@@ -68,7 +68,18 @@ def main():
         s3 = absorb_digest(s2, lv[-1][0])
         return lv, s3, b
 
-    timeit("h full step", jax.jit(full), state, evals, inv_dom)
+    timeit("h full step m=2^17", jax.jit(full), state, evals, inv_dom)
+
+    # the production _layer_jit at other sizes: the gated smalls first,
+    # then the size that hung the compile service (m=2^12) LAST so a
+    # repeat hang doesn't mask the rest
+    from stark_tpu.fri.commit import _layer_jit
+
+    for logm in (11, 10, 14, 13, 12):
+        m = 1 << logm
+        ev = jnp.arange(m, dtype=jnp.uint32) % jnp.uint32(P)
+        timeit(f"layer_jit m=2^{logm}", _layer_jit(P, m), state, ev,
+               _inv_domain(P, m, 3))
     print("PROBE-F DONE", flush=True)
 
 
