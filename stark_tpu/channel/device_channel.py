@@ -161,6 +161,11 @@ def jit_draw(p: int):
     return jax.jit(lambda s: draw_field_element(s, p))
 
 
+@functools.lru_cache(maxsize=None)
+def jit_absorb_value():
+    return jax.jit(absorb_value)
+
+
 class DeviceFS:
     """Device-side mirror of a host Channel from a given state onward.
 

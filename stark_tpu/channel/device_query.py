@@ -396,10 +396,14 @@ def get_plan(rng: int, num_queries: int, offsets: tuple,
 
 
 def supported(rng: int, trace_len: int | None, fri_lengths,
-              num_columns: int = 1) -> bool:
+              num_columns: int = 1, elem_width: int = 1) -> bool:
     """Whether the device path handles this configuration (power-of-two
-    sizes, draw range below 2^32, <= 3 trace columns)."""
+    sizes, draw range below 2^32, <= 3 u32 trace columns) — mirrors the
+    DeviceQueryPlan constructor checks so callers degrade to the host
+    query loop instead of crashing mid-prove."""
     if not 0 < rng < 1 << 32 or not 1 <= num_columns <= 3:
+        return False
+    if num_columns > 1 and elem_width != 1:
         return False
     sizes = list(fri_lengths) + ([trace_len] if trace_len else [])
     return all(s > 0 and not (s & (s - 1)) for s in sizes)

@@ -184,6 +184,11 @@ def fri_commit(
     # trip); the canonical host transcript is replayed from ONE fetch.
     own_fs = fs is None
     if own_fs:
+        if defer:
+            raise ValueError(
+                "defer=True needs the caller's DeviceFS (fs=...): a "
+                "locally-created one would be dropped and its roots/betas "
+                "never replayed into the transcript")
         channel.mark_phase("fri-commit")
         fs = DeviceFS(p, channel.state, mesh=mesh)
     else:

@@ -250,21 +250,13 @@ class MimcAIR(AIR):
             raise ValueError("MimcAIR needs blowup >= 4 (CP degree < 2N)")
 
     def build_trace(self, cfg: ProverConfig):
-        import os
+        from stark_tpu.stark.trace import host_or_device_trace
 
-        from stark_tpu.fields.fp import Fp
-
-        if not os.environ.get("STARK_TPU_DEVICE_TRACE"):
-            from stark_tpu.native import host_trace
-            from stark_tpu.stark.trace import upload_trace
-
-            host = host_trace("mimc", cfg.modulus, self.x0, self.k,
-                              cfg.trace_length)
-            if host is not None:
-                return upload_trace(host, cfg.modulus)
-        return _mimc_trace_jit(cfg.modulus, cfg.trace_length, self.k)(
-            Fp.get(cfg.modulus).const(self.x0)
-        )
+        p = cfg.modulus
+        return host_or_device_trace(
+            "mimc", p, self.x0, self.k, cfg.trace_length,
+            lambda: _mimc_trace_jit(p, cfg.trace_length, self.k)(
+                Fp.get(p).const(self.x0)))
 
     def publics(self, trace) -> dict:
         return {
@@ -387,22 +379,14 @@ class FibMulAIR(AIR):
             raise ValueError("FibMulAIR currently supports < 2^32 moduli")
 
     def build_trace(self, cfg: ProverConfig):
-        import os
-
-        from stark_tpu.fields.fp import Fp as _Fp
+        from stark_tpu.stark.trace import host_or_device_trace
 
         p = cfg.modulus
-        if not os.environ.get("STARK_TPU_DEVICE_TRACE"):
-            from stark_tpu.native import host_trace
-            from stark_tpu.stark.trace import upload_trace
-
-            host = host_trace("fibmul", p, self.a0, self.b0,
-                              cfg.trace_length)
-            if host is not None:
-                return upload_trace(host, p)
-        f = _Fp.get(p)
-        return _fibmul_trace_jit(p, cfg.trace_length)(
-            f.const(self.a0), f.const(self.b0))
+        f = Fp.get(p)
+        return host_or_device_trace(
+            "fibmul", p, self.a0, self.b0, cfg.trace_length,
+            lambda: _fibmul_trace_jit(p, cfg.trace_length)(
+                f.const(self.a0), f.const(self.b0)))
 
     def publics(self, trace) -> dict:
         from stark_tpu.stark.trace import host_endpoints

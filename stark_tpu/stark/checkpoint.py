@@ -85,7 +85,14 @@ class ProverCheckpoint:
 
 class ReplayChannel(Channel):
     """Channel that verifies sends against a checkpointed prefix, and can
-    interrupt itself at a phase boundary (crash simulation)."""
+    interrupt itself at a phase boundary (crash simulation).
+
+    `phase_accurate` keeps the prover on the per-phase replay path: the
+    single-fetch fast path would run the ENTIRE prove on device before
+    any mark_phase fires, so a stop_after checkpoint would save no device
+    work (stark/prover.py gates on this attribute)."""
+
+    phase_accurate = True
 
     def __init__(self, modulus: int, saved: list[bytes], stop_after: str | None,
                  cfg: ProverConfig, a1: int):

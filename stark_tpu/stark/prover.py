@@ -183,13 +183,19 @@ def prove(
     rng = M - max_off
     if channel is None:
         channel = Channel(p)
+    from stark_tpu.fields.fp import Fp as _Fp
+
     ncols = getattr(air, "num_columns", 1)
+    width = _Fp.get(p).width
+    if mesh is not None and ncols > 1:
+        raise NotImplementedError(
+            "multi-column proves are single-device for now")
     single_fetch = (
         mesh is None
         and not getattr(channel, "phase_accurate", False)
         and not _os.environ.get("STARK_TPU_HOST_QUERIES")
         and not _os.environ.get("STARK_TPU_PHASE_SYNC")
-        and _dq.supported(rng, M, fri_lengths, ncols)
+        and _dq.supported(rng, M, fri_lengths, ncols, width)
     )
 
     if single_fetch:
@@ -238,13 +244,11 @@ def prove(
         if (
             mesh is None
             and not _os.environ.get("STARK_TPU_HOST_QUERIES")
-            and _dq.supported(rng, M, fri_lengths, ncols)
+            and _dq.supported(rng, M, fri_lengths, ncols, width)
         ):
-            from stark_tpu.fields.fp import Fp as _Fp
-
             _dq.get_plan(
                 rng, cfg.num_queries, tuple(offsets), M, fri_lengths,
-                elem_width=_Fp.get(p).width, num_columns=ncols,
+                elem_width=width, num_columns=ncols,
             ).run(
                 channel,
                 f_evals,
@@ -257,9 +261,6 @@ def prove(
                 collect_query_arrays, emit_plan, plan_fri_query)
             from stark_tpu.utils.gather import BatchGather
 
-            if ncols > 1 and mesh is not None:
-                raise NotImplementedError(
-                    "multi-column proves are single-device for now")
             cols = (tuple(f_evals[c] for c in range(ncols))
                     if ncols > 1 else (f_evals,))
             arrays, slots = collect_query_arrays(
@@ -354,14 +355,14 @@ def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,
     # query draws — advance the device FS state over that send too
     import jax.numpy as _jnp
 
-    from stark_tpu.channel.device_channel import absorb_value
+    from stark_tpu.channel.device_channel import jit_absorb_value
 
     last = fri_proof.fri_layers[-1]
     if _Fp.get(p).width == 2:
         hi, lo = last[0, 0], last[1, 0]
     else:
         hi, lo = _jnp.zeros((), last.dtype), last[0]
-    fs.state = _jax.jit(absorb_value)(fs.state, hi, lo)
+    fs.state = jit_absorb_value()(fs.state, hi, lo)
 
     with mx.phase("queries", num_queries=cfg.num_queries):
         plan = _dq.get_plan(rng, cfg.num_queries, tuple(offsets), M,

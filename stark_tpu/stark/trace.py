@@ -86,25 +86,31 @@ def upload_trace(host_u64, p: int):
     return dev
 
 
-def fibonacci_square_trace(p: int, length: int, a0: int = 1, a1: int = 3141592):
-    """(length,) device trace of the Fibonacci-square AIR; a (2, length)
-    limb-pair array for 64-bit fields.
-
-    The recurrence is sequential, so the native host loop (C, ~1 ns/step)
-    beats the device lax.scan (~1 us/step of TPU loop overhead — 17 s at
-    2^24 rows) and the result is uploaded in one transfer.  The scan path
-    remains as the no-toolchain fallback and under STARK_TPU_DEVICE_TRACE
-    (tests assert both produce identical traces)."""
+def host_or_device_trace(kind: str, p: int, arg0: int, arg1: int, n: int,
+                         device_fallback):
+    """AIR trace dispatch: the native host loop (C, ~1 ns/step — the
+    recurrences are sequential, so the device lax.scan pays ~1 us/step of
+    TPU loop overhead, 17 s at 2^24 rows) uploaded in one transfer, else
+    `device_fallback()` (no toolchain, or STARK_TPU_DEVICE_TRACE=1; tests
+    assert both paths produce identical traces)."""
     import os
 
     if not os.environ.get("STARK_TPU_DEVICE_TRACE"):
         from stark_tpu.native import host_trace
 
-        host = host_trace("fib", p, a0, a1, length)
+        host = host_trace(kind, p, arg0, arg1, n)
         if host is not None:
             return upload_trace(host, p)
+    return device_fallback()
+
+
+def fibonacci_square_trace(p: int, length: int, a0: int = 1, a1: int = 3141592):
+    """(length,) device trace of the Fibonacci-square AIR; a (2, length)
+    limb-pair array for 64-bit fields (see host_or_device_trace)."""
     f = Fp.get(p)
-    return _trace_jit(p, length)(f.const(a0), f.const(a1))
+    return host_or_device_trace(
+        "fib", p, a0, a1, length,
+        lambda: _trace_jit(p, length)(f.const(a0), f.const(a1)))
 
 
 @functools.lru_cache(maxsize=None)
