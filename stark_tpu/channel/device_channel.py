@@ -43,16 +43,25 @@ def _nibbles(words):
     return jnp.stack(out)
 
 
-def _ascii_hex_words(words):
-    """(k,) u32 -> (2k,) u32: the UTF-8 bytes of the lowercase hex string,
-    packed big-endian 4 chars per word (what SHA consumes)."""
-    nib = _nibbles(words)  # (8k,)
+def ascii_hex_words(d):
+    """(..., k) u32 big-endian words -> (..., 2k) u32: the UTF-8 bytes of
+    the lowercase hex string, packed big-endian 4 chars per word (what
+    SHA consumes).  Width-generic — the single shared implementation of
+    this transcript-critical layout (device_query's block streams use it
+    too; only the Pallas chain kernel keeps its own, kernel-constrained
+    copy in hash/pallas_chain.py)."""
+    shifts = jnp.arange(28, -4, -4, dtype=_U32)              # (8,)
+    nib = (d[..., :, None] >> shifts) & _U32(0xF)            # (..., k, 8)
+    nib = nib.reshape(d.shape[:-1] + (d.shape[-1] * 8,))
     ch = jnp.where(nib < _U32(10), _U32(0x30) + nib, _U32(0x57) + nib)
-    ch4 = ch.reshape(-1, 4)
+    ch4 = ch.reshape(d.shape[:-1] + (d.shape[-1] * 2, 4))
     return (
-        (ch4[:, 0] << _U32(24)) | (ch4[:, 1] << _U32(16))
-        | (ch4[:, 2] << _U32(8)) | ch4[:, 3]
+        (ch4[..., 0] << _U32(24)) | (ch4[..., 1] << _U32(16))
+        | (ch4[..., 2] << _U32(8)) | ch4[..., 3]
     )
+
+
+_ascii_hex_words = ascii_hex_words
 
 
 def _double_hex_words(digest):
@@ -166,6 +175,21 @@ def jit_absorb_value():
     return jax.jit(absorb_value)
 
 
+_rep_fns: dict = {}
+
+
+def _replicate_fn(mesh):
+    """Cached replicate-to-all-devices jit per mesh (a fresh lambda per
+    call would miss JAX's function cache and retrace every finalize)."""
+    fn = _rep_fns.get(id(mesh))
+    if fn is None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fn = jax.jit(lambda v: v, out_shardings=NamedSharding(mesh, P()))
+        _rep_fns[id(mesh)] = fn
+    return fn
+
+
 class DeviceFS:
     """Device-side mirror of a host Channel from a given state onward.
 
@@ -251,10 +275,7 @@ class DeviceFS:
         if self._mesh is not None:
             # multi-process: payloads may span non-addressable devices;
             # replicate the (tiny) values so every host can fetch them
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            rep = jax.jit(lambda v: v,
-                          out_shardings=NamedSharding(self._mesh, P()))
+            rep = _replicate_fn(self._mesh)
             payloads = [rep(pl) for pl in payloads]
         fetched = jax.device_get(payloads)
         n = len(payloads) - len(extras)

@@ -53,19 +53,8 @@ _U32 = jnp.uint32
 _H0A = np.asarray(_H0, dtype=np.uint32)
 
 
-# -- hex packing -------------------------------------------------------------
-def _hex_rows(d):
-    """(..., k) u32 big-endian words -> (..., 2k) u32: the UTF-8 bytes of
-    the lowercase hex string, packed 4 chars per word (what SHA consumes)."""
-    shifts = jnp.arange(28, -4, -4, dtype=_U32)              # (8,)
-    nib = (d[..., :, None] >> shifts) & _U32(0xF)            # (..., k, 8)
-    nib = nib.reshape(d.shape[:-1] + (d.shape[-1] * 8,))
-    ch = jnp.where(nib < _U32(10), _U32(0x30) + nib, _U32(0x57) + nib)
-    ch4 = ch.reshape(d.shape[:-1] + (d.shape[-1] * 2, 4))
-    return (
-        (ch4[..., 0] << _U32(24)) | (ch4[..., 1] << _U32(16))
-        | (ch4[..., 2] << _U32(8)) | ch4[..., 3]
-    )
+# -- hex packing: the shared transcript-critical layout ----------------------
+from stark_tpu.channel.device_channel import ascii_hex_words as _hex_rows
 
 
 def _compress_arr(state8, w16):
@@ -308,13 +297,14 @@ class DeviceQueryPlan:
         return final_state, per_query
 
     # -- host driver -------------------------------------------------------
-    def _mode(self, f_evals) -> int:
+    def _mode(self, probe) -> int:
         import os
 
-        if os.environ.get("STARK_TPU_XLA_CHAIN"):
+        if (os.environ.get("STARK_TPU_XLA_CHAIN")
+                or os.environ.get("STARK_TPU_NO_PALLAS")):
             return 0
         try:
-            on_tpu = next(iter(f_evals.devices())).platform == "tpu"
+            on_tpu = next(iter(probe.devices())).platform == "tpu"
         except Exception:
             on_tpu = False
         return 1 if on_tpu else 0
@@ -325,7 +315,9 @@ class DeviceQueryPlan:
         (8,) u32 Fiat-Shamir state array; returns device
         (final_state, idxs, outs) for a later fetch + :meth:`replay`."""
         if mode is None:
-            mode = self._mode(f_evals)
+            probe = f_evals if f_evals is not None else (
+                fri_layers[0] if fri_layers else None)
+            mode = self._mode(probe)
         fn = self._jit_cache.get(mode)
         if fn is None:
             fn = jax.jit(functools.partial(self._run, mode=mode))
@@ -339,6 +331,11 @@ class DeviceQueryPlan:
             mode: int | None = None):
         """Execute on device, fetch once, replay the canonical transcript
         into `channel`, asserting the device chain matches."""
+        if not channel.state:
+            from stark_tpu.channel.channel import ChannelError
+
+            raise ChannelError(
+                "query phase before any send (empty channel state)")
         state = jnp.asarray(
             np.frombuffer(bytes.fromhex(channel.state), dtype=">u4").astype(
                 np.uint32))

@@ -242,9 +242,19 @@ def fri_commit(
     return FRIProof(layers, trees, final_value, offsets)
 
 
+def open_layout(layer):
+    """A value array in BatchGather's row layout: wide (2, n) limb-pair
+    arrays transpose to (n, 2) so a gathered row is one ELEMENT (both
+    limbs); u32 arrays pass through.  (FRI layers are never multi-column
+    — the composition polynomial is a single codeword.)"""
+    return layer.T if layer.ndim == 2 else layer
+
+
 def collect_query_arrays(fri_layers, fri_merkles, extra_arrays=()):
     """Deduplicated tuple of every device array a query opening can touch
-    (layer values + all tree levels), with an id->slot map for BatchGather."""
+    (layer values in open_layout + all tree levels), with an id->slot map
+    for BatchGather.  Returns (arrays, slots, open_layers): index layer
+    value gathers with `slots[id(open_layers[i])]`."""
     arrays: list = []
     slots: dict[int, int] = {}
 
@@ -252,24 +262,26 @@ def collect_query_arrays(fri_layers, fri_merkles, extra_arrays=()):
         if id(a) not in slots:
             slots[id(a)] = len(arrays)
             arrays.append(a)
+        return a
 
     for a in extra_arrays:
         add(a)
-    for layer in fri_layers:
-        add(layer)
+    open_layers = [add(open_layout(layer)) for layer in fri_layers]
     for tree in fri_merkles:
         for lv in tree.levels[:-1]:
             add(lv)
-    return tuple(arrays), slots
+    return tuple(arrays), slots, open_layers
 
 
-def plan_fri_query(bg, slots, index: int, fri_layers, fri_merkles) -> list:
+def plan_fri_query(bg, slots, index: int, open_layers, fri_merkles) -> list:
     """Queue one query's openings (fri_commit.rs:137-165 order: per layer
     value, auth path, sibling, sibling path; the len==1 quirk — final
     value sent, then re-sent as idx/sibling, fri_commit.rs:146-148 — is
-    replicated for parity).  Returns the send plan for emit_plan."""
+    replicated for parity).  `open_layers`: the layer arrays in
+    open_layout (axis 0 = elements).  Returns the send plan for
+    emit_plan."""
     plan = []
-    for layer, tree in zip(fri_layers, fri_merkles):
+    for layer, tree in zip(open_layers, fri_merkles):
         length = int(layer.shape[0])
         if length == 1:
             plan.append(("v", bg.want(slots[id(layer)], 0)))
@@ -295,9 +307,10 @@ def emit_plan(plan, bg, channel: Channel) -> None:
     digests)."""
     for kind, h in plan:
         if kind == "v":
-            channel.send(bg.scalar(h).to_bytes(8, "big"))
+            channel.send(bg.value_u64(h).to_bytes(8, "big"))
         elif kind == "vrow":  # multi-column trace row opening
-            channel.send(b"".join(bg.scalar(x).to_bytes(8, "big") for x in h))
+            channel.send(
+                b"".join(bg.value_u64(x).to_bytes(8, "big") for x in h))
         else:
             channel.send(b"".join(bg.digest(x) for x in h))
 
@@ -307,15 +320,16 @@ def decommit_fri_layers(
     fri_layers: list,
     fri_merkles: list[MerkleTree],
     channel: Channel,
-    _arrays_slots=None,
+    _collected=None,
 ) -> None:
     """Per-query decommitment — one batched device gather + ONE
     device->host transfer for the whole query (tunneled-TPU friendly)."""
     from stark_tpu.utils.gather import BatchGather
 
-    arrays, slots = _arrays_slots or collect_query_arrays(fri_layers, fri_merkles)
+    arrays, slots, open_layers = _collected or collect_query_arrays(
+        fri_layers, fri_merkles)
     bg = BatchGather(arrays)
-    plan = plan_fri_query(bg, slots, index, fri_layers, fri_merkles)
+    plan = plan_fri_query(bg, slots, index, open_layers, fri_merkles)
     bg.run()
     emit_plan(plan, bg, channel)
 
@@ -337,19 +351,19 @@ def decommit_fri(
     import os
 
     channel.mark_phase("fri-query")
-    lengths = tuple(int(l.shape[0]) for l in fri_layers)
+    lengths = tuple(int(l.shape[-1]) for l in fri_layers)
     rng = max_index + 1
+    width = Fp.get(int(channel.modulus)).width
     from stark_tpu.channel import device_query as _dq
 
     if not os.environ.get("STARK_TPU_HOST_QUERIES") and _dq.supported(
-            rng, None, lengths):
-        width = Fp.get(int(channel.modulus)).width
+            rng, None, lengths, elem_width=width):
         _dq.get_plan(rng, num_queries, (), None, lengths,
                      elem_width=width).run(
             channel, None, (), fri_layers,
             [t.levels[:-1] for t in fri_merkles])
         return
-    arrays_slots = collect_query_arrays(fri_layers, fri_merkles)
+    collected = collect_query_arrays(fri_layers, fri_merkles)
     for _ in range(num_queries):
         idx = channel.receive_random_int(0, max_index, True)
-        decommit_fri_layers(idx, fri_layers, fri_merkles, channel, arrays_slots)
+        decommit_fri_layers(idx, fri_layers, fri_merkles, channel, collected)

@@ -151,6 +151,14 @@ def prove(
     h = cfg.offset
     offsets = [s * b for s in air.shifts]
     max_off = max(offsets)
+    from stark_tpu.fields.fp import Fp as _Fp
+
+    ncols = getattr(air, "num_columns", 1)
+    width = _Fp.get(p).width
+    if mesh is not None and (ncols > 1 or width > 1):
+        raise NotImplementedError(
+            "multi-column and 64-bit-field proves are single-device for "
+            "now (the dist NTT/Merkle shard 1-D u32 codewords)")
 
     # -- trace + LDE ------------------------------------------------------
     with mx.phase("trace-lde", n=M):
@@ -183,13 +191,6 @@ def prove(
     rng = M - max_off
     if channel is None:
         channel = Channel(p)
-    from stark_tpu.fields.fp import Fp as _Fp
-
-    ncols = getattr(air, "num_columns", 1)
-    width = _Fp.get(p).width
-    if mesh is not None and ncols > 1:
-        raise NotImplementedError(
-            "multi-column proves are single-device for now")
     single_fetch = (
         mesh is None
         and not getattr(channel, "phase_accurate", False)
@@ -258,12 +259,17 @@ def prove(
             )
         else:
             from stark_tpu.fri.commit import (
-                collect_query_arrays, emit_plan, plan_fri_query)
+                collect_query_arrays, emit_plan, open_layout, plan_fri_query)
             from stark_tpu.utils.gather import BatchGather
 
-            cols = (tuple(f_evals[c] for c in range(ncols))
-                    if ncols > 1 else (f_evals,))
-            arrays, slots = collect_query_arrays(
+            # trace value arrays in gather row layout: one 1-D array per
+            # column, or the (M, 2)-transposed limb pairs for 64-bit
+            # fields (open_layout)
+            if ncols > 1:
+                cols = tuple(f_evals[c] for c in range(ncols))
+            else:
+                cols = (open_layout(f_evals),)
+            arrays, slots, open_layers = collect_query_arrays(
                 fri_proof.fri_layers,
                 fri_proof.fri_merkles,
                 extra_arrays=(*cols, *trace_tree.levels[:-1]),
@@ -288,7 +294,7 @@ def prove(
                         )
                     )
                 plan += plan_fri_query(
-                    bg, slots, idx, fri_proof.fri_layers, fri_proof.fri_merkles
+                    bg, slots, idx, open_layers, fri_proof.fri_merkles
                 )
                 bg.run()
                 emit_plan(plan, bg, channel)

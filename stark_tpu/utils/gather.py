@@ -108,6 +108,17 @@ class BatchGather:
         assert row_elems == 1, "scalar() on a multi-element row"
         return int(self._result[start])
 
+    def value_u64(self, handle: int) -> int:
+        """Field element as a host int: 1-element rows are u32 values,
+        2-element rows are (hi, lo) limb pairs of 64-bit fields (wide
+        arrays enter the gather transposed to (n, 2))."""
+        start, row_elems, _ = self._slot(handle)
+        if row_elems == 1:
+            return int(self._result[start])
+        if row_elems == 2:
+            return int(self._result[start]) << 32 | int(self._result[start + 1])
+        raise ValueError(f"value_u64() on a {row_elems}-element row")
+
     def digest(self, handle: int) -> bytes:
         start, row_elems, _ = self._slot(handle)
         return b"".join(

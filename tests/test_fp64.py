@@ -136,6 +136,20 @@ def test_wide_merkle_matches_host_oracle(f):
                                32)
 
 
+def test_goldilocks_host_queries_match_device(monkeypatch):
+    """The host batched-gather query loop must emit the same bytes as the
+    device query program for the 64-bit field (wide layers enter the
+    gather transposed — open_layout)."""
+    from stark_tpu.stark.prover import prove
+
+    cfg = ProverConfig(modulus=P, generator=7, log2_trace=5, blowup=4,
+                       num_queries=3)
+    fast = prove(cfg, a1=31415)
+    monkeypatch.setenv("STARK_TPU_HOST_QUERIES", "1")
+    host = prove(cfg, a1=31415)
+    assert fast.proof == host.proof
+
+
 def test_goldilocks_prove_verify_end_to_end():
     from stark_tpu.stark.prover import prove
     from stark_tpu.stark.verifier import verify
