@@ -218,7 +218,7 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
         from stark_tpu.utils.gather import BatchGather
 
         ch.mark_phase("queries")
-        arrays, slots = collect_query_arrays(
+        arrays, slots, open_layers = collect_query_arrays(
             fri_layers, fri_trees,
             extra_arrays=(f_evals[i], *[lv[i] for lv in t_levels[:-1]]),
         )
@@ -232,7 +232,7 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
                     ("p", [bg.want(slots[id(arrays[1 + li])], row)
                            for li, row in trace_tree.path_rows(idx + off)])
                 )
-            plan += plan_fri_query(bg, slots, idx, fri_layers, fri_trees)
+            plan += plan_fri_query(bg, slots, idx, open_layers, fri_trees)
             bg.run()
             emit_plan(plan, bg, ch)
 
