@@ -27,8 +27,12 @@ _U32 = jnp.uint32
 
 
 def _local_levels(values):
-    """Leaf digests + all subtree levels for one shard's (n_local,) block."""
-    level = sha256_u64_leaves(jnp.zeros_like(values), values)
+    """Leaf digests + all subtree levels for one shard's (n_local,) block
+    (or (2, n_local) limb pairs for 64-bit fields)."""
+    if values.ndim == 2:  # wide: (hi, lo) limb planes
+        level = sha256_u64_leaves(values[0], values[1])
+    else:
+        level = sha256_u64_leaves(jnp.zeros_like(values), values)
     levels = [level]
     while level.shape[0] > 1:
         level = sha256_pairs(level[0::2], level[1::2])
@@ -37,13 +41,13 @@ def _local_levels(values):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_dist_jit(n: int, n_shards: int, mesh_key: int, mesh_ref=None):
+def _build_dist_jit(n: int, n_shards: int, mesh_key: int, wide: bool = False):
     mesh = _MESHES[mesh_key]
     spec = P(SHARD_AXIS, None)
     mapped = jax.shard_map(
         _local_levels,
         mesh=mesh,
-        in_specs=(P(SHARD_AXIS),),
+        in_specs=(P(None, SHARD_AXIS) if wide else P(SHARD_AXIS),),
         out_specs=tuple(spec for _ in range((n // n_shards).bit_length())),
         check_vma=False,
     )
@@ -64,13 +68,15 @@ _MESHES: dict[int, Mesh] = {}
 
 
 def dist_merkle_tree(values, mesh: Mesh) -> MerkleTree:
-    """Build a MerkleTree from sharded values; identical digests/paths to
-    the single-device tree."""
-    n = int(values.shape[0])
+    """Build a MerkleTree from sharded values ((n,) u32, or (2, n) limb
+    pairs for 64-bit fields); identical digests/paths to the
+    single-device tree."""
+    wide = values.ndim == 2
+    n = int(values.shape[-1])
     s = int(mesh.devices.size)
     if n % s or (n // s) & (n // s - 1) or n < 2 * s:
         # fall back for sizes that do not shard cleanly
         return MerkleTree(values)
     _MESHES[id(mesh)] = mesh
-    levels = _build_dist_jit(n, s, id(mesh))(values)
+    levels = _build_dist_jit(n, s, id(mesh), wide)(values)
     return MerkleTree(None, device_levels=levels)

@@ -88,33 +88,49 @@ class _DistNTT:
 
         self._twiddle = _jnp.asarray(f.host_geometric_table(
             f.host_powers(w, self.n2), self.n1, mont=True))
-        self._ninv_mont = _U32(pow(n, p - 2, p) * f.r % p)
+        ninv = f.const_mont(pow(n, p - 2, p))
+        # broadcastable over (limb?, rows, cols)
+        self._ninv = ninv[:, None, None] if f.width > 1 else ninv
         self._jit_cache = {}
 
     def _kernel(self, x, twiddle_block):
-        """shard_map body.  x: local (n1/s, n2) block of A = x.reshape(n1,n2).
-        twiddle_block: local (n2/s, n1) block of the twiddle table."""
+        """shard_map body.  x: local (n1/s, n2) block of A = x.reshape(n1,n2)
+        — with a leading (2,) limb plane for 64-bit fields (the matrix axes
+        are always the LAST two; all_to_all/transpose indices shift by the
+        plane).  twiddle_block: local (n2/s, n1) block of the twiddle
+        table."""
         f = self.fp
-        s = self.s
+        row_ax = x.ndim - 2  # 0 (u32) or 1 (limb-pair)
+        col_ax = x.ndim - 1
+
+        def transpose(v):
+            v = jax.lax.all_to_all(v, SHARD_AXIS, split_axis=col_ax,
+                                   concat_axis=row_ax, tiled=True)
+            return v.swapaxes(row_ax, col_ax)
+
         xm = f.to_mont(x)
         # transpose 1: (n1/s, n2) -> (n2/s, n1); col-NTT becomes row-NTT
-        xm = jax.lax.all_to_all(xm, SHARD_AXIS, split_axis=1, concat_axis=0, tiled=True).T
+        xm = transpose(xm)
         xm = self._plan1.stages(xm)           # NTT_n1 along rows
         xm = f.mont_mul(xm, twiddle_block)    # w^(j2*k1), rows j2 local
         # transpose 2: (n2/s, n1) -> (n1/s, n2)
-        xm = jax.lax.all_to_all(xm, SHARD_AXIS, split_axis=1, concat_axis=0, tiled=True).T
+        xm = transpose(xm)
         xm = self._plan2.stages(xm)           # NTT_n2 along rows -> D[k1, k2]
         # transpose 3: natural order is D^T reshaped; X.reshape(n2,n1)=D^T
-        xm = jax.lax.all_to_all(xm, SHARD_AXIS, split_axis=1, concat_axis=0, tiled=True).T
+        xm = transpose(xm)
         if self.inverse:
-            xm = f.mont_mul(xm, self._ninv_mont)
+            xm = f.mont_mul(xm, self._ninv)
         return f.from_mont(xm)
 
     def run(self, x, mesh: Mesh):
-        key = id(mesh)
+        wide = self.fp.width > 1
+        key = (id(mesh), wide)
         fn = self._jit_cache.get(key)
         if fn is None:
-            spec_in = P(SHARD_AXIS, None)
+            # the limb plane (wide fields) rides unsharded ahead of the
+            # (rows, cols) matrix axes
+            spec_in = (P(None, SHARD_AXIS, None) if wide
+                       else P(SHARD_AXIS, None))
             mapped = jax.shard_map(
                 self._kernel,
                 mesh=mesh,
@@ -123,9 +139,9 @@ class _DistNTT:
             )
 
             def run_global(xg, tw):
-                a = xg.reshape(self.n1, self.n2)
+                a = xg.reshape(xg.shape[:-1] + (self.n1, self.n2))
                 d_t = mapped(a, tw)  # (n2, n1) = D^T = X.reshape(n2, n1)
-                return d_t.reshape(self.n)
+                return d_t.reshape(xg.shape[:-1] + (self.n,))
 
             fn = jax.jit(run_global)
             self._jit_cache[key] = fn
@@ -165,7 +181,8 @@ def _scale_pad_jit(p: int, n: int, big_n: int, offset: int):
 
     def run(coeffs):
         shifted = f.mul(coeffs, f.powers(offset, n))
-        return jnp.zeros((big_n,), dtype=_U32).at[:n].set(shifted)
+        return jnp.zeros(coeffs.shape[:-1] + (big_n,), dtype=_U32).at[
+            ..., :n].set(shifted)
 
     return jax.jit(run)
 

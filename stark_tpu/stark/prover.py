@@ -155,10 +155,10 @@ def prove(
 
     ncols = getattr(air, "num_columns", 1)
     width = _Fp.get(p).width
-    if mesh is not None and (ncols > 1 or width > 1):
+    if mesh is not None and ncols > 1:
         raise NotImplementedError(
-            "multi-column and 64-bit-field proves are single-device for "
-            "now (the dist NTT/Merkle shard 1-D u32 codewords)")
+            "multi-column proves are single-device for now (the dist "
+            "NTT/Merkle shard single-codeword arrays)")
 
     # -- trace + LDE ------------------------------------------------------
     with mx.phase("trace-lde", n=M):

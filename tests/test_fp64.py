@@ -150,6 +150,51 @@ def test_goldilocks_host_queries_match_device(monkeypatch):
     assert fast.proof == host.proof
 
 
+@pytest.mark.parametrize("nd", [2, 4])
+def test_goldilocks_dist_ntt_and_merkle(f, nd):
+    """Wide (2, n) limb-pair codewords through the distributed four-step
+    NTT (limb plane rides unsharded ahead of the matrix axes) and the
+    sharded Merkle build — byte-identical to single-device."""
+    import jax
+
+    from stark_tpu.dist import dist_intt, dist_merkle_tree, dist_ntt, \
+        make_mesh
+    from stark_tpu.merkle.tree import MerkleTree
+    from stark_tpu.ntt.ntt import get_plan
+
+    devs = jax.local_devices(backend="cpu")
+    if len(devs) < nd:
+        pytest.skip(f"needs {nd} cpu devices")
+    mesh = make_mesh(nd, devices=devs[:nd])
+    n = 1 << 10
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, P, n, dtype=np.uint64)
+    x = jnp.asarray(np.stack([(vals >> np.uint64(32)).astype(np.uint32),
+                              (vals & np.uint64(0xFFFFFFFF)).astype(
+                                  np.uint32)]))
+    y = dist_ntt(x, P, mesh)
+    assert np.array_equal(np.asarray(y), np.asarray(get_plan(P, n, False)(x)))
+    yi = dist_intt(jnp.asarray(np.asarray(y)), P, mesh)
+    assert np.array_equal(np.asarray(yi), np.asarray(x))
+    assert dist_merkle_tree(x, mesh).root() == MerkleTree(x).root()
+
+
+def test_goldilocks_sharded_prove_byte_identical():
+    import jax
+
+    from stark_tpu.dist import make_mesh
+    from stark_tpu.stark.prover import prove
+
+    devs = jax.local_devices(backend="cpu")
+    if len(devs) < 4:
+        pytest.skip("needs 4 cpu devices")
+    mesh = make_mesh(4, devices=devs[:4])
+    cfg = ProverConfig(modulus=P, generator=7, log2_trace=6, blowup=4,
+                       num_queries=4)
+    assert prove(cfg, a1=3141592, mesh=mesh).proof == \
+        prove(cfg, a1=3141592).proof
+
+
 def test_goldilocks_prove_verify_end_to_end():
     from stark_tpu.stark.prover import prove
     from stark_tpu.stark.verifier import verify
