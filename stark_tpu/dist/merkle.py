@@ -26,10 +26,16 @@ from stark_tpu.merkle.tree import MerkleTree
 _U32 = jnp.uint32
 
 
-def _local_levels(values):
-    """Leaf digests + all subtree levels for one shard's (n_local,) block
-    (or (2, n_local) limb pairs for 64-bit fields)."""
-    if values.ndim == 2:  # wide: (hi, lo) limb planes
+def _local_levels(values, kind: str = "narrow"):
+    """Leaf digests + all subtree levels for one shard's block:
+    (n_local,) u32 values ("narrow"), (2, n_local) 64-bit limb pairs
+    ("wide"), or (C, n_local) trace columns hashed as row leaves
+    ("cols", see hash.sha256_jax.sha256_row_leaves)."""
+    if kind == "cols":
+        from stark_tpu.hash.sha256_jax import sha256_row_leaves
+
+        level = sha256_row_leaves(values)
+    elif kind == "wide":  # (hi, lo) limb planes
         level = sha256_u64_leaves(values[0], values[1])
     else:
         level = sha256_u64_leaves(jnp.zeros_like(values), values)
@@ -41,13 +47,14 @@ def _local_levels(values):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_dist_jit(n: int, n_shards: int, mesh_key: int, wide: bool = False):
+def _build_dist_jit(n: int, n_shards: int, mesh_key: int,
+                    kind: str = "narrow"):
     mesh = _MESHES[mesh_key]
     spec = P(SHARD_AXIS, None)
     mapped = jax.shard_map(
-        _local_levels,
+        functools.partial(_local_levels, kind=kind),
         mesh=mesh,
-        in_specs=(P(None, SHARD_AXIS) if wide else P(SHARD_AXIS),),
+        in_specs=(P(SHARD_AXIS) if kind == "narrow" else P(None, SHARD_AXIS),),
         out_specs=tuple(spec for _ in range((n // n_shards).bit_length())),
         check_vma=False,
     )
@@ -67,16 +74,20 @@ def _build_dist_jit(n: int, n_shards: int, mesh_key: int, wide: bool = False):
 _MESHES: dict[int, Mesh] = {}
 
 
-def dist_merkle_tree(values, mesh: Mesh) -> MerkleTree:
-    """Build a MerkleTree from sharded values ((n,) u32, or (2, n) limb
-    pairs for 64-bit fields); identical digests/paths to the
+def dist_merkle_tree(values, mesh: Mesh, columns: bool = False) -> MerkleTree:
+    """Build a MerkleTree from sharded values ((n,) u32; (2, n) limb
+    pairs for 64-bit fields; or (C, n) trace columns with
+    `columns=True`, committed as row leaves like
+    MerkleTree.from_columns); identical digests/paths to the
     single-device tree."""
-    wide = values.ndim == 2
+    kind = "cols" if columns else ("wide" if values.ndim == 2 else "narrow")
     n = int(values.shape[-1])
     s = int(mesh.devices.size)
     if n % s or (n // s) & (n // s - 1) or n < 2 * s:
         # fall back for sizes that do not shard cleanly
+        if kind == "cols":
+            return MerkleTree.from_columns(values)
         return MerkleTree(values)
     _MESHES[id(mesh)] = mesh
-    levels = _build_dist_jit(n, s, id(mesh), wide)(values)
+    levels = _build_dist_jit(n, s, id(mesh), kind)(values)
     return MerkleTree(None, device_levels=levels)

@@ -123,19 +123,20 @@ class _DistNTT:
         return f.from_mont(xm)
 
     def run(self, x, mesh: Mesh):
-        wide = self.fp.width > 1
-        key = (id(mesh), wide)
+        # leading axes (the 64-bit limb plane and/or trace columns) ride
+        # unsharded ahead of the (rows, cols) matrix axes
+        lead = x.ndim - 1
+        key = (id(mesh), lead)
         fn = self._jit_cache.get(key)
         if fn is None:
-            # the limb plane (wide fields) rides unsharded ahead of the
-            # (rows, cols) matrix axes
-            spec_in = (P(None, SHARD_AXIS, None) if wide
-                       else P(SHARD_AXIS, None))
+            x_spec = P(*([None] * lead + [SHARD_AXIS, None]))
+            tw_lead = 1 if self.fp.width > 1 else 0
+            tw_spec = P(*([None] * tw_lead + [SHARD_AXIS, None]))
             mapped = jax.shard_map(
                 self._kernel,
                 mesh=mesh,
-                in_specs=(spec_in, spec_in),
-                out_specs=spec_in,
+                in_specs=(x_spec, tw_spec),
+                out_specs=x_spec,
             )
 
             def run_global(xg, tw):

@@ -155,10 +155,6 @@ def prove(
 
     ncols = getattr(air, "num_columns", 1)
     width = _Fp.get(p).width
-    if mesh is not None and ncols > 1:
-        raise NotImplementedError(
-            "multi-column proves are single-device for now (the dist "
-            "NTT/Merkle shard single-codeword arrays)")
 
     # -- trace + LDE ------------------------------------------------------
     with mx.phase("trace-lde", n=M):
@@ -209,7 +205,7 @@ def prove(
         if mesh is not None:
             from stark_tpu.dist import dist_merkle_tree
 
-            trace_tree = dist_merkle_tree(f_evals, mesh)
+            trace_tree = dist_merkle_tree(f_evals, mesh, columns=ncols > 1)
         elif ncols > 1:  # row-leaf commitment over all columns
             trace_tree = MerkleTree.from_columns(f_evals)
         else:

@@ -198,6 +198,23 @@ class TestFibMul:
         assert rt.proof == pr.proof and rt.publics == pr.publics
         assert verify(rt, expected_config=CFG)
 
+    @pytest.mark.parametrize("nd", [2, 4])
+    def test_sharded_prove_byte_identical(self, nd):
+        """Multi-column proves over a mesh: dist row-leaf Merkle + the
+        leading column axis through the dist NTT."""
+        import jax
+
+        from stark_tpu.dist import make_mesh
+        from stark_tpu.stark import FibMulAIR
+
+        devs = jax.local_devices(backend="cpu")
+        if len(devs) < nd:
+            pytest.skip(f"needs {nd} cpu devices")
+        mesh = make_mesh(nd, devices=devs[:nd])
+        single = self._prove()
+        assert prove(CFG, air=FibMulAIR(a0=1, b0=2718281),
+                     mesh=mesh).proof == single.proof
+
     def test_wide_field_rejected(self):
         from stark_tpu.stark import FibMulAIR
 
