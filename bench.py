@@ -221,6 +221,37 @@ def main():
     log(f"  phase overlap (async dispatch pipelining): {overlap*1e3:.1f} ms "
         f"({100*overlap/max(phase_sum,1e-9):.0f}% of synced phase sum)")
 
+    # -- 6. other statement families (warm wall at a small size) ----------
+    from stark_tpu.stark import FibMulAIR, MimcAIR
+
+    fam_cfg = ProverConfig(log2_trace=10 if args.quick else 12, blowup=4,
+                           num_queries=16)
+    for fam_name, mk in (("mimc3", lambda: MimcAIR(x0=271828)),
+                         ("fibmul", lambda: FibMulAIR(b0=2718281))):
+        t0 = time.perf_counter()
+        pf = prove(fam_cfg, air=mk())
+        log(f"{fam_name} prove 2^{fam_cfg.log2_trace} first: "
+            f"{time.perf_counter()-t0:.1f} s")
+        t_f = median_time(lambda: prove(fam_cfg, air=mk()), reps=3, warmup=0)
+        results[f"{fam_name}_prove_2e{fam_cfg.log2_trace}_warm_ms"] = t_f * 1e3
+        assert verify(pf)
+        log(f"{fam_name} prove 2^{fam_cfg.log2_trace} (warm): "
+            f"{t_f*1e3:.0f} ms (verified)")
+
+    # -- 7. Goldilocks field warm prove ------------------------------------
+    g_cfg = ProverConfig(modulus=2**64 - 2**32 + 1, generator=7,
+                         log2_trace=8 if args.quick else 10, blowup=4,
+                         num_queries=16)
+    t0 = time.perf_counter()
+    pg = prove(g_cfg)
+    log(f"goldilocks prove 2^{g_cfg.log2_trace} first: "
+        f"{time.perf_counter()-t0:.1f} s")
+    t_g = median_time(lambda: prove(g_cfg), reps=3, warmup=0)
+    results[f"goldilocks_prove_2e{g_cfg.log2_trace}_warm_ms"] = t_g * 1e3
+    assert verify(pg)
+    log(f"goldilocks prove 2^{g_cfg.log2_trace} (warm): {t_g*1e3:.0f} ms "
+        "(verified)")
+
     if args.full_prove:
         cfg = ProverConfig(log2_trace=18, blowup=8, num_queries=16)
         t0 = time.perf_counter()
