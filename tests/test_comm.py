@@ -50,7 +50,7 @@ def test_ntt_hlo_matches_analytic():
 
     plan = _dist_plan(MOD, n, s, False)
     plan.run(x, mesh)  # populate cache
-    fn = plan._jit_cache[id(mesh)]
+    fn = plan._jit_cache[(id(mesh), 0)]  # 0 leading axes (u32 codeword)
     txt = fn.lower(x, plan._twiddle).compile().as_text()
     found = [c for c in comm.hlo_collectives(txt) if c["kind"] == "all-to-all"]
     assert len(found) == 3, comm.count_hlo_kinds(txt)
