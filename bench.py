@@ -69,6 +69,17 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="pin to CPU backend")
     args = ap.parse_args()
 
+    # If the TPU tunnel is configured but dead, backend init would hang
+    # this process forever — probe it (bounded, in a subprocess) and fall
+    # back to CPU with reduced sizes so the harness always emits numbers.
+    from stark_tpu.utils.tunnel import ensure_live_backend
+
+    platform_guard = ensure_live_backend()
+    if platform_guard == "cpu":
+        log("TPU tunnel unreachable — benchmarking on CPU fallback (--quick)")
+        args.quick = True
+        args.full_prove = False
+
     import jax
 
     if args.cpu:
@@ -82,7 +93,8 @@ def main():
     from stark_tpu.config import DEFAULT_MODULUS as P, ProverConfig
     from stark_tpu.fields import Fp
 
-    results = {"device": str(dev), "platform": dev.platform}
+    results = {"device": str(dev), "platform": dev.platform,
+               "tunnel_fallback": platform_guard == "cpu"}
     f = Fp.get(P)
 
     def dev_rand(n, salt=1):
