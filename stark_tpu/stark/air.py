@@ -477,6 +477,11 @@ class _FibMulContext(_BaseContext):
 
 def air_from_name(name: str, publics: dict) -> AIR:
     """Reconstruct a verifier-side AIR instance from a proof's statement."""
+    from stark_tpu.stark.air_builder import lookup_spec
+
+    spec = lookup_spec(name)
+    if spec is not None:
+        return spec
     if name == FibonacciSquareAIR.name:
         return FibonacciSquareAIR(a0=publics.get("a0", 1))
     if name == MimcAIR.name:
