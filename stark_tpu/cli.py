@@ -74,6 +74,11 @@ def cmd_prove(args) -> int:
         from stark_tpu.stark import FibMulAIR
 
         air = FibMulAIR(b0=args.secret)
+    elif args.air in ("tribmul", "mimc5"):
+        from stark_tpu.stark.families import FAMILIES
+
+        spec, secret_key = FAMILIES[args.air]
+        air = spec(**{secret_key: args.secret})
     else:
         air = None
     proof = prove(cfg, a1=args.secret, mesh=mesh, air=air)
@@ -135,8 +140,10 @@ def main(argv=None) -> int:
     p.add_argument("--secret", type=int, default=3141592,
                    help="the private a_1 / x_0 (default: STARK-101's pi)")
     p.add_argument("--air", default="fibonacci-square",
-                   choices=["fibonacci-square", "mimc3", "fibmul"],
-                   help="statement family to prove")
+                   choices=["fibonacci-square", "mimc3", "fibmul",
+                            "tribmul", "mimc5"],
+                   help="statement family to prove (tribmul/mimc5 are "
+                        "declarative AirSpec families)")
     p.add_argument("--mimc-key", type=int, default=777)
     p.add_argument("-o", "--output", default="proof.json")
     p.set_defaults(fn=cmd_prove)

@@ -477,6 +477,7 @@ class _FibMulContext(_BaseContext):
 
 def air_from_name(name: str, publics: dict) -> AIR:
     """Reconstruct a verifier-side AIR instance from a proof's statement."""
+    import stark_tpu.stark.families  # noqa: F401  (registers shipped specs)
     from stark_tpu.stark.air_builder import lookup_spec
 
     spec = lookup_spec(name)

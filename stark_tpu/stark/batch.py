@@ -57,10 +57,24 @@ def _batched_fold(f: Fp, evals, beta, inv_dom):
     return f.mul(f.add(f.add(v, s), odd), inv2)
 
 
+def _rebuild_air(air_name, air_param):
+    """Air instance from its batch key: declarative specs through the
+    builder registry (air_param = sorted param items), legacy classes
+    through REGISTRY (air_param = the mimc k, if any)."""
+    from stark_tpu.stark.air import REGISTRY
+    from stark_tpu.stark.air_builder import lookup_spec
+
+    spec = lookup_spec(air_name)
+    if spec is not None:
+        return spec(**dict(air_param or ()))
+    return (REGISTRY[air_name]() if air_param is None
+            else REGISTRY[air_name](k=air_param))
+
+
 @functools.lru_cache(maxsize=None)
 def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
     """One jitted program: traces (B, T) -> all commit-phase artifacts."""
-    from stark_tpu.stark.air import REGISTRY
+    from stark_tpu.stark.air_builder import AirSpec
 
     p = cfg.modulus
     f = Fp.get(p)
@@ -69,11 +83,27 @@ def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
     h = cfg.offset
     trace_poly = _trace_poly_jit(p, N)
     plan_f = get_plan(p, M, False)
-    air_name, air_param = air_key
-    air = (REGISTRY[air_name]() if air_param is None
-           else REGISTRY[air_name](k=air_param))
+    air = _rebuild_air(*air_key)
     num_folds = air.num_folds(cfg)
     ctx = get_air_context(air, cfg)
+
+    # per-proof composer over positional publics (B, n_pub): declarative
+    # specs take all boundary publics in declaration order; the legacy
+    # hand-written families take their two statement values
+    if isinstance(air, AirSpec):
+        pvals = tuple(
+            f.const(v) for _, v in sorted(air._param_values.items())
+        )
+
+        def composer(lde, al, pubs):
+            return ctx._compose_tables(
+                lde, tuple(al), tuple(pubs), pvals, ctx.binvs,
+                ctx.trans_mult,
+            )
+    else:
+
+        def composer(lde, al, pubs):
+            return ctx._compose(lde, al, pubs[0], pubs[1])
     off_pows = f.jit_powers(h, N)
     # precompute per-layer inverse domains OUTSIDE the trace (the lru-cached
     # helper must never cache a tracer)
@@ -105,8 +135,7 @@ def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
 
         # composition (vmap the per-proof composer)
         al_arr = jnp.stack(alphas, axis=1)                 # (B, k)
-        cp = jax.vmap(ctx._compose)(f_evals, al_arr, publics_dev[:, 0],
-                                    publics_dev[:, 1])
+        cp = jax.vmap(composer)(f_evals, al_arr, publics_dev)
 
         # FRI commit chain, batched
         layers = [cp]
@@ -135,13 +164,26 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
     `airs`: list of AIR instances of the SAME family/parameters (only the
     per-statement secrets differ).  Returns proofs byte-identical to
     sequential `prove()` calls."""
+    from stark_tpu.stark.air_builder import AirSpec
+
     if not airs:
         return []
     air0 = airs[0]
     air0.validate(cfg)
-    if any(a.name != air0.name or getattr(a, "k", None) != getattr(air0, "k", None)
+
+    def _family_param(a):
+        if isinstance(a, AirSpec):
+            return tuple(sorted(a._param_values.items()))
+        return getattr(a, "k", None)
+
+    if any(a.name != air0.name or _family_param(a) != _family_param(air0)
            for a in airs):
         raise ValueError("prove_batch needs AIRs of one family/parameterization")
+    if getattr(air0, "num_columns", 1) != 1 or Fp.get(cfg.modulus).width != 1:
+        raise ValueError(
+            "prove_batch currently supports single-column AIRs over "
+            "< 2^32 moduli"
+        )
     B = len(airs)
     p = cfg.modulus
     M = cfg.eval_domain_size
@@ -151,12 +193,17 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
 
     traces = jnp.stack([a.build_trace(cfg) for a in airs])
     publics = [a.publics(tr) for a, tr in zip(airs, traces)]
-    publics_dev = jnp.asarray(
-        [[list(pb.values())[0] % p, list(pb.values())[1] % p] for pb in publics],
-        dtype=_U32,
-    )
+    if isinstance(air0, AirSpec):
+        pub_order = [bd.public for bd in air0.boundaries]
+        pub_rows = [[pb[k] % p for k in pub_order] for pb in publics]
+    else:
+        pub_rows = [
+            [list(pb.values())[0] % p, list(pb.values())[1] % p]
+            for pb in publics
+        ]
+    publics_dev = jnp.asarray(pub_rows, dtype=_U32)
 
-    air_key = (air0.name, getattr(air0, "k", None))
+    air_key = (air0.name, _family_param(air0))
     f_evals, t_levels, layers, f_levels_all, roots, draws = _batch_commit_jit(
         air_key, cfg, B
     )(traces, publics_dev)

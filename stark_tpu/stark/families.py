@@ -1,0 +1,63 @@
+"""Shipped declarative statement families.
+
+These are built ENTIRELY through the declarative builder
+(stark_tpu.stark.air_builder) — no hand-written composer, verifier
+mirror, or degree bookkeeping — serving both as usable statement
+families and as reference examples for defining your own.  The
+hand-written families (FibonacciSquareAIR, MimcAIR, FibMulAIR, in
+stark_tpu.stark.air) remain the oracle: the builder is tested to
+produce byte-identical transcripts to them.
+
+The reference crate defines no statements at all (its src/trace/,
+src/composition/, src/prover/ are 0-byte stubs, SURVEY §2); these
+families freeze our own semantics under golden tests.
+"""
+
+from __future__ import annotations
+
+from stark_tpu.stark.air_builder import AirSpec, Boundary
+
+# Three-column tribonacci-mul:  a' = b, b' = c, c' = a*b + c.
+# Exercises the C=3 row-leaf commitment and multi-value openings.
+TRIBMUL = AirSpec(
+    name="tribmul",
+    columns=3,
+    init=((("a0", 1), ("b0", 2), ("c0", 3)),),
+    step=lambda f, rows, P: (
+        rows[0][1],
+        rows[0][2],
+        f.add(f.mul(rows[0][0], rows[0][1]), rows[0][2]),
+    ),
+    boundaries=(
+        Boundary(column=0, row=0, public="input"),
+        Boundary(column=1, row=0, public="b0"),
+        Boundary(column=2, row=0, public="c0"),
+        Boundary(column=2, row=-1, public="output"),
+    ),
+)
+
+# Degree-5 S-box chain  x' = (x + k)^5  (the MiMC/Rescue-style quintic
+# permutation used by fields where gcd(5, p-1) = 1).  The degree
+# inference derives 4 extra bits of composition degree: log2(N)+2 FRI
+# folds and minimum blowup 8 — nothing is hand-computed.
+MIMC5 = AirSpec(
+    name="mimc5",
+    columns=1,
+    init=((("x0", 271828),),),
+    step=lambda f, rows, P: (
+        (lambda t: f.mul(f.mul(f.mul(f.mul(t, t), t), t), t))(
+            f.add(rows[0][0], P["k"])
+        ),
+    ),
+    boundaries=(
+        Boundary(column=0, row=0, public="input"),
+        Boundary(column=0, row=-1, public="output"),
+    ),
+    params={"k": 777},
+)
+
+# name -> (spec, witness kwarg that carries the CLI --secret value)
+FAMILIES: dict[str, tuple[AirSpec, str]] = {
+    "tribmul": (TRIBMUL, "b0"),
+    "mimc5": (MIMC5, "x0"),
+}

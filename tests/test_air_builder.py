@@ -69,23 +69,9 @@ FIBMUL_DECL = AirSpec(
 )
 
 # A brand-new family that exists ONLY declaratively: 3-column
-# "tribonacci-mul"  a' = b, b' = c, c' = a*b + c  (degree-2 transition).
-TRIBMUL = AirSpec(
-    name="tribmul",
-    columns=3,
-    init=((("a0", 1), ("b0", 2), ("c0", 3)),),
-    step=lambda f, rows, P: (
-        rows[0][1],
-        rows[0][2],
-        f.add(f.mul(rows[0][0], rows[0][1]), rows[0][2]),
-    ),
-    boundaries=(
-        Boundary(column=0, row=0, public="input"),
-        Boundary(column=1, row=0, public="b0"),
-        Boundary(column=2, row=0, public="c0"),
-        Boundary(column=2, row=-1, public="output"),
-    ),
-)
+# "tribonacci-mul"  a' = b, b' = c, c' = a*b + c  (degree-2 transition),
+# shipped in stark_tpu.stark.families.
+from stark_tpu.stark.families import MIMC5, TRIBMUL  # noqa: E402
 
 
 class TestByteIdentity:
@@ -224,6 +210,53 @@ class TestNewFamily:
         proof = prove(self.CFG, air=TRIBMUL())
         again = StarkProof.deserialize(proof.serialize())
         assert verify(again)
+
+    def test_mimc5_degree5_family(self):
+        cfg = ProverConfig(log2_trace=5, blowup=8, num_queries=4)
+        proof = prove(cfg, air=MIMC5(x0=31337))
+        assert verify(proof)
+        # the inferred degree rejects blowup 4
+        with pytest.raises(ValueError, match="blowup"):
+            MIMC5().validate(
+                ProverConfig(log2_trace=5, blowup=4, num_queries=4)
+            )
+
+    def test_cli_roundtrip_tribmul(self, tmp_path):
+        from stark_tpu.cli import main as cli_main
+
+        out = tmp_path / "p.json"
+        rc = cli_main([
+            "prove", "--air", "tribmul", "--log2-trace", "5",
+            "--blowup", "4", "--num-queries", "4", "--secret", "7",
+            "--cpu", "-o", str(out),
+        ])
+        assert rc == 0
+        assert cli_main(["verify", str(out), "--cpu"]) == 0
+
+
+class TestBatchedSpecs:
+    CFG = ProverConfig(log2_trace=5, blowup=4, num_queries=4)
+
+    def test_batch_matches_sequential(self):
+        from stark_tpu.stark import prove_batch
+
+        airs = [MIMC_DECL(x0=s) for s in (11, 22, 33)]
+        batched = prove_batch(self.CFG, airs)
+        for air, bp in zip(airs, batched):
+            assert bp.proof == prove(self.CFG, air=air).proof
+            assert verify(bp)
+
+    def test_batch_rejects_mixed_params(self):
+        from stark_tpu.stark import prove_batch
+
+        with pytest.raises(ValueError, match="one family"):
+            prove_batch(self.CFG, [MIMC_DECL(k=1), MIMC_DECL(k=2)])
+
+    def test_batch_rejects_multicolumn(self):
+        from stark_tpu.stark import prove_batch
+
+        with pytest.raises(ValueError, match="single-column"):
+            prove_batch(self.CFG, [TRIBMUL(), TRIBMUL()])
 
 
 class TestSpecValidation:
