@@ -16,6 +16,11 @@ if ! grep -q "pipeline done" "$LOG"; then
   echo "post-bench: gave up waiting $(date)" >>"$LOG"
   exit 1
 fi
+echo "--- probe_marginal $(date)" >>"$LOG"
+timeout 1800 python benches/probe_marginal.py 20,22 \
+  >benches/probe_marginal.txt 2>benches/probe_marginal.err
+echo "probe_marginal exit=$? $(date)" >>"$LOG"
+sleep 60
 echo "--- bench full $(date)" >>"$LOG"
 timeout 3000 python bench.py --full-prove \
   >benches/bench_stdout.txt 2>benches/bench_stderr.txt
