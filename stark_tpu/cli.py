@@ -74,7 +74,7 @@ def cmd_prove(args) -> int:
         from stark_tpu.stark import FibMulAIR
 
         air = FibMulAIR(b0=args.secret)
-    elif args.air in ("tribmul", "mimc5"):
+    elif args.air != "fibonacci-square":
         from stark_tpu.stark.families import FAMILIES
 
         spec, secret_key = FAMILIES[args.air]
@@ -139,11 +139,13 @@ def main(argv=None) -> int:
     _add_config_args(p)
     p.add_argument("--secret", type=int, default=3141592,
                    help="the private a_1 / x_0 (default: STARK-101's pi)")
+    from stark_tpu.stark.families import FAMILIES
+
     p.add_argument("--air", default="fibonacci-square",
                    choices=["fibonacci-square", "mimc3", "fibmul",
-                            "tribmul", "mimc5"],
-                   help="statement family to prove (tribmul/mimc5 are "
-                        "declarative AirSpec families)")
+                            *FAMILIES],
+                   help="statement family to prove (families beyond the "
+                        "first three are declarative AirSpec specs)")
     p.add_argument("--mimc-key", type=int, default=777)
     p.add_argument("-o", "--output", default="proof.json")
     p.set_defaults(fn=cmd_prove)

@@ -151,6 +151,18 @@ class AirSpec(AIR):
     params:      public parameters (name -> default int) available to
                  ``step``/``transitions`` as the ``P`` dict and carried
                  in the proof publics (e.g. a round constant).
+    periodic:    name -> cycle of ints (power-of-two length L).  The
+                 value at base row i is ``cycle[i mod L]``, available to
+                 ``step``/``transitions`` through the same ``P`` dict.
+                 Constraint-side it is the low-degree interpolant
+                 K(x) = K_hat(x^(N/L)) (deg K = (L-1)·N/L < N-1, so it
+                 adds at most one trace-unit of composition degree):
+                 evaluated over the coset as ``blowup*L`` host-built
+                 points tiled across the domain — zero XLA compile cost
+                 — and as a scalar Horner in the verifier mirror.  This
+                 is the standard STARK periodic-column mechanism for
+                 round-constant schedules (MiMC/Rescue/Poseidon-style),
+                 which fixed per-proof ``params`` cannot express.
     """
 
     def __init__(
@@ -163,6 +175,7 @@ class AirSpec(AIR):
         transitions: Callable | None = None,
         shifts: Sequence[int] | None = None,
         params: dict | None = None,
+        periodic: dict | None = None,
         register: bool = True,
     ):
         self.name = name
@@ -171,6 +184,21 @@ class AirSpec(AIR):
         self.step = step
         self.boundaries = tuple(boundaries)
         self.params_spec = dict(params or {})
+        self.periodic = {
+            k: tuple(int(v) for v in cyc) for k, cyc in (periodic or {}).items()
+        }
+        for k, cyc in self.periodic.items():
+            L = len(cyc)
+            if L < 1 or L & (L - 1):
+                raise ValueError(
+                    f"periodic {k!r}: cycle length must be a power of two, "
+                    f"got {L}"
+                )
+        overlap = set(self.periodic) & set(self.params_spec)
+        if overlap:
+            raise ValueError(
+                f"names bound as both param and periodic: {sorted(overlap)}"
+            )
         self.window = len(self.init)
         if self.window < 1:
             raise ValueError("init must contain at least one window row")
@@ -212,16 +240,19 @@ class AirSpec(AIR):
                 raise ValueError(
                     f'boundaries must bind a public named "{required}"'
                 )
-        overlap = set(pubs) & set(self.params_spec)
+        overlap = set(pubs) & (set(self.params_spec) | set(self.periodic))
         if overlap:
             raise ValueError(f"publics double-bound: {sorted(overlap)}")
 
-        # degree inference (cfg-independent units): trace cell = 1
+        # degree inference (cfg-independent units): trace cell = 1; a
+        # periodic interpolant has deg (L-1)·N/L <= N-2 for L <= N/2, so
+        # one trace-unit is its exact ceiling
         df = DegreeField()
         deg_rows = tuple(
             tuple(1 for _ in range(self.num_columns)) for _ in self.shifts
         )
         deg_params = {k: 0 for k in self.params_spec}
+        deg_params.update({k: 1 for k in self.periodic})
         self._trans_degrees = tuple(
             int(d) for d in self.transitions(df, deg_rows, deg_params)
         )
@@ -285,6 +316,13 @@ class AirSpec(AIR):
             r = b.row if b.row >= 0 else T + b.row
             if not 0 <= r < T:
                 raise ValueError(f"boundary row {b.row} outside trace (T={T})")
+        N = cfg.trace_domain_size
+        for k, cyc in self.periodic.items():
+            if len(cyc) > N // 2:
+                raise ValueError(
+                    f"periodic {k!r}: cycle length {len(cyc)} > N/2 = "
+                    f"{N // 2} (the degree-1-unit ceiling needs L <= N/2)"
+                )
 
     def num_folds(self, cfg: ProverConfig) -> int:
         T = cfg.trace_length
@@ -297,10 +335,14 @@ class AirSpec(AIR):
         return max(1, quot.bit_length())
 
     def build_trace(self, cfg: ProverConfig):
-        return _spec_trace_jit(
+        fn = _spec_trace_jit(
             self, cfg.modulus, cfg.trace_length,
             tuple(sorted(self._param_values.items())),
-        )(self._device_init(cfg.modulus))
+        )
+        return fn(
+            self._device_init(cfg.modulus),
+            _periodic_xs(self, cfg.modulus, cfg.trace_length),
+        )
 
     def _device_init(self, p: int):
         f = Fp.get(p)
@@ -326,6 +368,14 @@ class AirSpec(AIR):
         return _SpecContext(cfg, self)
 
 
+def _horner(coeffs: list, x: int, p: int) -> int:
+    """coeffs[0] + coeffs[1]·x + ... evaluated mod p (host ints)."""
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % p
+    return acc
+
+
 def _read_cell(trace, column: int, row: int, ncols: int) -> int:
     """Host int of trace[column, row] (width-generic, one tiny fetch;
     endpoint reads on host-generated traces answer from the host cache)."""
@@ -346,6 +396,20 @@ def _read_cell(trace, column: int, row: int, ncols: int) -> int:
 _TRACE_JITS: dict = {}
 
 
+def _periodic_xs(spec: AirSpec, p: int, T: int) -> dict:
+    """Per-row periodic values as device arrays with the row axis
+    leading (scan xs): (T,) for u32 fields, (T, 2) limb pairs for wide
+    ones.  Host-built (numpy tile) — zero XLA compile."""
+    f = Fp.get(p)
+    out = {}
+    for name, cyc in spec.periodic.items():
+        L = len(cyc)
+        vals = [cyc[t % L] for t in range(T)]
+        arr = f.array(vals)  # (T,) or (2, T) limb-plane-leading
+        out[name] = arr if arr.ndim == 1 else arr.T
+    return out
+
+
 def _spec_trace_jit(spec: AirSpec, p: int, T: int, params: tuple):
     """Jitted lax.scan trace generator for a spec (cached per
     (spec name, modulus, length, param values) — same key contract as the
@@ -358,13 +422,14 @@ def _spec_trace_jit(spec: AirSpec, p: int, T: int, params: tuple):
     C = spec.num_columns
     pdict = {k: f.const(v) for k, v in params}
 
-    def gen(init_rows):
-        def body(carry, _):
-            nxt = _as_tuple(spec.step(f, carry, pdict))
+    def gen(init_rows, periodic_xs):
+        def body(carry, xv):
+            # wide periodic xs arrive as (2,) rows; ops expect limb-first
+            nxt = _as_tuple(spec.step(f, carry, {**pdict, **xv}))
             emit = carry[0][0] if C == 1 else jnp.stack(carry[0])
             return carry[1:] + (tuple(nxt),), emit
 
-        _, out = jax.lax.scan(body, init_rows, None, length=T)
+        _, out = jax.lax.scan(body, init_rows, periodic_xs, length=T)
         # scan stacks rows along axis 0; move the row axis last:
         # (T,) stays; (T, 2) -> (2, T); (T, C) -> (C, T)
         return out if out.ndim == 1 else out.T
@@ -391,9 +456,42 @@ class _SpecContext(_BaseContext):
         w = max(spec.shifts)
         self.excluded = tuple(pow(g, i, p) for i in range(T - w, N))
         self.trans_mult = self.zerofier_inv_excluding(self.excluded)
+        # periodic columns: K(x) = K_hat(x^(N/L)) with K_hat the INTT of
+        # the cycle over the size-L subgroup.  Over the evaluation coset
+        # {off·W^j} the argument x^(N/L) cycles with period blowup·L, so
+        # K over the whole domain is blowup·L host-built points tiled
+        # M/(blowup·L) times (device tile is fused into the composer).
+        from stark_tpu.ntt.reference_ntt import root_of_unity
+
+        self._periodic_names = tuple(sorted(spec.periodic))
+        self._periodic_coeffs = {}
+        small = []
+        self._periodic_reps = []
+        blowup = cfg.blowup
+        for name in self._periodic_names:
+            cyc = [v % p for v in spec.periodic[name]]
+            L = len(cyc)
+            hinv = pow(root_of_unity(p, L), p - 2, p)
+            linv = pow(L, p - 2, p)
+            coeffs = [
+                linv * sum(
+                    cyc[i] * pow(hinv, i * m, p) for i in range(L)
+                ) % p
+                for m in range(L)
+            ]
+            self._periodic_coeffs[name] = coeffs
+            bl = blowup * L
+            wb = root_of_unity(p, bl)
+            off = pow(cfg.offset, N // L, p)
+            pts = [off * pow(wb, j, p) % p for j in range(bl)]
+            evals = [_horner(coeffs, x, p) for x in pts]
+            small.append(self.fp.array(evals))  # (bl,) or (2, bl)
+            self._periodic_reps.append(self.M // bl)
+        self.periodic_small = tuple(small)
         self._jit = jax.jit(self._compose_tables)
 
-    def _compose_tables(self, lde, alphas, bvals, pvals, binvs, trans_mult):
+    def _compose_tables(self, lde, alphas, bvals, pvals, binvs, trans_mult,
+                        periodic_small):
         f = self.fp
         spec = self.spec
         blw = self.cfg.blowup
@@ -414,6 +512,10 @@ class _SpecContext(_BaseContext):
             for b, bv, bi in zip(spec.boundaries, bvals, binvs)
         ]
         pdict = dict(zip(sorted(spec.params_spec), pvals))
+        for name, arr, reps in zip(
+            self._periodic_names, periodic_small, self._periodic_reps
+        ):
+            pdict[name] = jnp.tile(arr, reps)  # trailing-axis tile
         terms += [
             f.mul(e, trans_mult) for e in spec.transitions(f, rows, pdict)
         ]
@@ -429,7 +531,7 @@ class _SpecContext(_BaseContext):
         )
         return self._jit(
             lde, _alphas_arr(alphas, self.fp.p), bvals, pvals,
-            self.binvs, self.trans_mult,
+            self.binvs, self.trans_mult, self.periodic_small,
         )
 
     def cp_at(self, x: int, opened: list, alphas, publics: dict) -> int:
@@ -452,6 +554,8 @@ class _SpecContext(_BaseContext):
             excl = excl * (x - e) % p
         tm = excl * f.inv((pow(x, N, p) - 1) % p) % p
         pdict = {k: publics[k] % p for k in spec.params_spec}
+        for name, coeffs in self._periodic_coeffs.items():
+            pdict[name] = _horner(coeffs, pow(x, N // len(coeffs), p), p)
         terms += [e * tm % p for e in spec.transitions(f, rows, pdict)]
         return sum(a * t % p for a, t in zip(alphas, terms)) % p
 

@@ -98,7 +98,7 @@ def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
         def composer(lde, al, pubs):
             return ctx._compose_tables(
                 lde, tuple(al), tuple(pubs), pvals, ctx.binvs,
-                ctx.trans_mult,
+                ctx.trans_mult, ctx.periodic_small,
             )
     else:
 

@@ -56,8 +56,31 @@ MIMC5 = AirSpec(
     params={"k": 777},
 )
 
+# MiMC5 with a proper round-constant SCHEDULE (cycle of 8) instead of a
+# single fixed k — the standard construction (MiMC, Rescue, Poseidon all
+# need per-round constants).  Exercises the periodic-column mechanism:
+# the schedule appears in the composition as the low-degree interpolant
+# K(x) = K_hat(x^(N/8)) and in the verifier mirror as a scalar Horner.
+MIMC5RC = AirSpec(
+    name="mimc5rc",
+    columns=1,
+    init=((("x0", 314159),),),
+    step=lambda f, rows, P: (
+        (lambda t: f.mul(f.mul(f.mul(f.mul(t, t), t), t), t))(
+            f.add(rows[0][0], P["rc"])
+        ),
+    ),
+    boundaries=(
+        Boundary(column=0, row=0, public="input"),
+        Boundary(column=0, row=-1, public="output"),
+    ),
+    periodic={"rc": (0x42, 0x1337, 0xDEAD, 0xBEEF,
+                     0xCAFE, 0xF00D, 0x0BAD, 0xFACE)},
+)
+
 # name -> (spec, witness kwarg that carries the CLI --secret value)
 FAMILIES: dict[str, tuple[AirSpec, str]] = {
     "tribmul": (TRIBMUL, "b0"),
     "mimc5": (MIMC5, "x0"),
+    "mimc5rc": (MIMC5RC, "x0"),
 }

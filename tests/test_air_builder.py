@@ -304,3 +304,150 @@ class TestSpecValidation:
                 params={"input": 3},
                 register=False,
             )
+
+class TestPeriodicColumns:
+    """Round-constant schedules as periodic columns: device interpolant,
+    trace xs, and verifier Horner mirror must all agree."""
+
+    CFG = ProverConfig(log2_trace=5, blowup=8, num_queries=4)
+
+    @staticmethod
+    def _host_rows(x, rc, T, p):
+        rows = [x]
+        for t in range(T - 1):
+            x = pow((x + rc[t % len(rc)]) % p, 5, p)
+            rows.append(x)
+        return rows
+
+    def test_trace_matches_host_mirror(self):
+        from stark_tpu.stark.families import MIMC5RC
+
+        import numpy as np
+
+        cfg = self.CFG
+        tr = np.asarray(MIMC5RC.build_trace(cfg)).tolist()
+        assert tr == self._host_rows(
+            314159, MIMC5RC.periodic["rc"], cfg.trace_length, cfg.modulus
+        )
+
+    def test_prove_verify_roundtrip(self):
+        from stark_tpu.stark.families import MIMC5RC
+
+        proof = prove(self.CFG, air=MIMC5RC(x0=777))
+        assert verify(proof)
+        exp = self._host_rows(
+            777, MIMC5RC.periodic["rc"], self.CFG.trace_length,
+            self.CFG.modulus,
+        )[-1]
+        assert proof.publics["output"] == exp
+        # schedule values are part of the spec, not the publics
+        assert "rc" not in proof.publics
+
+    def test_tamper_rejected(self):
+        import copy
+
+        from stark_tpu.stark.families import MIMC5RC
+
+        proof = prove(self.CFG, air=MIMC5RC())
+        for msg_i in (0, 2, len(proof.proof) - 1):
+            bad = copy.deepcopy(proof)
+            m = bytearray(bad.proof[msg_i])
+            m[0] ^= 1
+            bad.proof[msg_i] = bytes(m)
+            with pytest.raises(StarkVerificationError):
+                verify(bad)
+
+    def test_schedule_differs_from_fixed_constant(self):
+        """A real schedule must not collapse to the fixed-k family."""
+        from stark_tpu.stark.families import MIMC5, MIMC5RC
+
+        p1 = prove(self.CFG, air=MIMC5(x0=314159))
+        p2 = prove(self.CFG, air=MIMC5RC(x0=314159))
+        assert p1.publics["output"] != p2.publics["output"]
+
+    def test_length_one_cycle_equals_param(self):
+        """L=1 periodic == fixed param: identical traces (the interpolant
+        is the constant polynomial)."""
+        import numpy as np
+
+        const_spec = AirSpec(
+            name="mimc5-const-k", columns=1, init=((("x0", 5),),),
+            step=lambda f, rows, P: (
+                (lambda t: f.mul(f.mul(f.mul(f.mul(t, t), t), t), t))(
+                    f.add(rows[0][0], P["rc"])),
+            ),
+            boundaries=(Boundary(0, 0, "input"), Boundary(0, -1, "output")),
+            periodic={"rc": (777,)},
+            register=False,
+        )
+        param_spec = AirSpec(
+            name="mimc5-param-k", columns=1, init=((("x0", 5),),),
+            step=lambda f, rows, P: (
+                (lambda t: f.mul(f.mul(f.mul(f.mul(t, t), t), t), t))(
+                    f.add(rows[0][0], P["k"])),
+            ),
+            boundaries=(Boundary(0, 0, "input"), Boundary(0, -1, "output")),
+            params={"k": 777},
+            register=False,
+        )
+        a = np.asarray(const_spec.build_trace(self.CFG))
+        b = np.asarray(param_spec.build_trace(self.CFG))
+        assert (a == b).all()
+
+    def test_goldilocks_periodic(self):
+        spec = AirSpec(
+            name="mimc5rc-goldi", columns=1, init=((("x0", 987654321),),),
+            step=lambda f, rows, P: (
+                (lambda t: f.mul(f.mul(f.mul(f.mul(t, t), t), t), t))(
+                    f.add(rows[0][0], P["rc"])),
+            ),
+            boundaries=(Boundary(0, 0, "input"), Boundary(0, -1, "output")),
+            periodic={"rc": (11, 2**63 + 5, 3, 2**40)},
+        )
+        cfg = ProverConfig(
+            modulus=GOLDILOCKS, generator=7, log2_trace=5, blowup=8,
+            num_queries=4,
+        )
+        proof = prove(cfg, air=spec())
+        assert verify(proof)
+        x = 987654321
+        rc = (11, 2**63 + 5, 3, 2**40)
+        for t in range(cfg.trace_length - 1):
+            x = pow((x + rc[t % 4]) % GOLDILOCKS, 5, GOLDILOCKS)
+        assert proof.publics["output"] == x
+
+    def test_bad_cycle_length(self):
+        with pytest.raises(ValueError, match="power of two"):
+            AirSpec(
+                name="badp1", columns=1, init=((("x0", 1),),),
+                step=lambda f, rows, P: (f.add(rows[0][0], P["rc"]),),
+                boundaries=(
+                    Boundary(0, 0, "input"), Boundary(0, -1, "output"),
+                ),
+                periodic={"rc": (1, 2, 3)},
+                register=False,
+            )
+
+    def test_cycle_too_long_for_domain(self):
+        spec = AirSpec(
+            name="badp2", columns=1, init=((("x0", 1),),),
+            step=lambda f, rows, P: (f.add(rows[0][0], P["rc"]),),
+            boundaries=(Boundary(0, 0, "input"), Boundary(0, -1, "output")),
+            periodic={"rc": tuple(range(32))},
+            register=False,
+        )
+        with pytest.raises(ValueError, match="N/2"):
+            spec.validate(ProverConfig(log2_trace=5, blowup=4, num_queries=4))
+
+    def test_param_periodic_collision(self):
+        with pytest.raises(ValueError, match="param and periodic"):
+            AirSpec(
+                name="badp3", columns=1, init=((("x0", 1),),),
+                step=lambda f, rows, P: (f.add(rows[0][0], P["k"]),),
+                boundaries=(
+                    Boundary(0, 0, "input"), Boundary(0, -1, "output"),
+                ),
+                params={"k": 1},
+                periodic={"k": (1, 2)},
+                register=False,
+            )
