@@ -83,10 +83,14 @@ def cmd_prove(args) -> int:
         air = None
     proof = prove(cfg, a1=args.secret, mesh=mesh, air=air)
     dt = time.perf_counter() - t0
+    blob = proof.serialize(compress=args.compress)
     with open(args.output, "wb") as fh:
-        fh.write(proof.serialize())
-    log.info("proved in %.2fs: %d bytes -> %s (public output a_last=%d)",
-             dt, proof.size_bytes(), args.output, proof.a_last)
+        fh.write(blob)
+    log.info("proved in %.2fs: %d transcript bytes, %d on disk%s -> %s "
+             "(public output a_last=%d)",
+             dt, proof.size_bytes(), len(blob),
+             " (compressed)" if args.compress else "", args.output,
+             proof.a_last)
     return 0
 
 
@@ -95,7 +99,11 @@ def cmd_verify(args) -> int:
 
     log, _ = _setup(args)
     with open(args.proof, "rb") as fh:
-        proof = StarkProof.deserialize(fh.read())
+        try:
+            proof = StarkProof.deserialize(fh.read())
+        except Exception as e:  # corrupt container: reject, don't crash
+            log.error("proof REJECTED: unreadable container (%s)", e)
+            return 1
     t0 = time.perf_counter()
     try:
         verify(proof)
@@ -148,6 +156,9 @@ def main(argv=None) -> int:
                         "first three are declarative AirSpec specs)")
     p.add_argument("--mimc-key", type=int, default=777)
     p.add_argument("-o", "--output", default="proof.json")
+    p.add_argument("--compress", action="store_true",
+                   help="write the binary node-deduplicated container "
+                        "(channel/compress.py) instead of JSON")
     p.set_defaults(fn=cmd_prove)
 
     p = sub.add_parser("verify", help="verify a proof file")

@@ -138,7 +138,9 @@ def merkle_build_host(values) -> list[bytes]:
     wrote = lib.stark_merkle_build(
         vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n, buf
     )
-    assert wrote == total
+    if wrote != total:
+        raise RuntimeError(
+            f"native merkle build wrote {wrote} nodes, expected {total}")
     return [buf.raw[32 * i : 32 * (i + 1)] for i in range(total)]
 
 

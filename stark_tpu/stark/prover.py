@@ -51,34 +51,63 @@ class StarkProof:
     def size_bytes(self) -> int:
         return sum(len(m) for m in self.proof)
 
-    def serialize(self) -> bytes:
+    def compressed_size_bytes(self) -> int:
+        """Transcript size under the real node-dedup compression — what
+        the reference's `compressed_proof_size` (channel.rs:91-95) was
+        meant to report but never did (channel.rs:42-43 pushes verbatim)."""
+        from stark_tpu.channel.compress import compressed_size
+
+        return compressed_size(self.proof)
+
+    def _header(self) -> dict:
+        return {
+            "config": {
+                "modulus": self.config.modulus,
+                "generator": self.config.generator,
+                "log2_trace": self.config.log2_trace,
+                "blowup": self.config.blowup,
+                "num_queries": self.config.num_queries,
+            },
+            "air": self.air_name,
+            "a0": self.a0,
+            "a_last": self.a_last,
+            "extra_publics": self.extra_publics,
+        }
+
+    def serialize(self, compress: bool = False) -> bytes:
+        """JSON (default) or, with `compress=True`, the binary container
+        `"STP1" varint(header_len) header_json compressed_transcript`
+        with Merkle-node-deduplicated messages (channel/compress.py).
+        Both round-trip exactly through :meth:`deserialize`."""
         import json
 
-        return json.dumps(
-            {
-                "config": {
-                    "modulus": self.config.modulus,
-                    "generator": self.config.generator,
-                    "log2_trace": self.config.log2_trace,
-                    "blowup": self.config.blowup,
-                    "num_queries": self.config.num_queries,
-                },
-                "air": self.air_name,
-                "a0": self.a0,
-                "a_last": self.a_last,
-                "extra_publics": self.extra_publics,
-                "proof": [m.hex() for m in self.proof],
-            }
-        ).encode()
+        if compress:
+            from stark_tpu.channel.compress import _varint, compress_messages
+
+            header = json.dumps(self._header()).encode()
+            return b"STP1" + _varint(len(header)) + header + compress_messages(self.proof)
+        obj = self._header()
+        obj["proof"] = [m.hex() for m in self.proof]
+        return json.dumps(obj).encode()
 
     @classmethod
     def deserialize(cls, data: bytes) -> "StarkProof":
         import json
 
-        obj = json.loads(data.decode())
+        if data[:4] == b"STP1":
+            from stark_tpu.channel.compress import _read_varint, decompress_messages
+
+            hlen, pos = _read_varint(data, 4)
+            obj = json.loads(data[pos : pos + hlen].decode())
+            obj["proof"] = None  # filled from the compressed blob below
+            messages = decompress_messages(data[pos + hlen :])
+        else:
+            obj = json.loads(data.decode())
+            messages = None
         c = obj["config"]
         return cls(
-            proof=[bytes.fromhex(m) for m in obj["proof"]],
+            proof=messages if messages is not None
+            else [bytes.fromhex(m) for m in obj["proof"]],
             a0=obj["a0"],
             a_last=obj["a_last"],
             config=ProverConfig(

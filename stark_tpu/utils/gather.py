@@ -105,7 +105,8 @@ class BatchGather:
 
     def scalar(self, handle: int) -> int:
         start, row_elems, _ = self._slot(handle)
-        assert row_elems == 1, "scalar() on a multi-element row"
+        if row_elems != 1:
+            raise ValueError("scalar() on a multi-element row")
         return int(self._result[start])
 
     def value_u64(self, handle: int) -> int:
