@@ -260,6 +260,10 @@ def main():
     results[f"stark_prove_2e{log2_tr}_warm_ms"] = t_pv * 1e3
     assert verify(proof)
     log(f"STARK prove 2^{log2_tr} rows (warm): {t_pv*1e3:.0f} ms (verified)")
+    sz, csz = proof.size_bytes(), proof.compressed_size_bytes()
+    results[f"proof_bytes_2e{log2_tr}"] = sz
+    results[f"proof_bytes_2e{log2_tr}_compressed"] = csz
+    log(f"proof size: {sz} bytes transcript, {csz} compressed ({100*csz/sz:.0f}%)")
 
     # per-phase split (SURVEY §5.5): one instrumented prove with precise
     # phase syncs; the split localizes where warm-prove time goes
