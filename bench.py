@@ -206,10 +206,10 @@ def main():
     m = 1 << log_m
     leaves = dev_rand(m, 4)
     if _use_pallas_build(m, leaves):
-        from stark_tpu.hash.pallas_sha import build_jit_pallas
+        from stark_tpu.hash.pallas_sha import build_tree_bitrev
 
-        build = build_jit_pallas(m)
-        log("merkle: using Pallas VMEM-resident SHA kernels")
+        build = build_tree_bitrev
+        log("merkle: using Pallas bitrev SHA kernels")
     else:
         build = _build_jit(m)
     t0 = time.perf_counter()
@@ -242,6 +242,9 @@ def main():
         return ch
 
     t0 = time.perf_counter()
+    from stark_tpu.utils.prewarm import prewarm_fri
+
+    prewarm_fri(P, blowup << log_deg, log_deg, 5)
     fri_run()
     log(f"FRI 2^{log_deg} first (compiles): {time.perf_counter()-t0:.1f} s")
     t_fri = median_time(fri_run, reps=3, warmup=1)

@@ -44,6 +44,16 @@ if not _os.environ.get("STARK_TPU_NO_COMPILE_CACHE"):
         ),
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # Also persist the backend-specific (Mosaic/Pallas) compilation
+    # artifacts: measured on the tunneled v5e (benches/probe_compile_r3
+    # session, 2026-08-19), a 2^21-node SHA kernel's second-process
+    # compile drops 17.0 s -> 7.6 s with this on — the r2 finding that
+    # "the persistent cache does not cover Mosaic" was this flag's
+    # default, not a backend limitation.
+    try:
+        _jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:  # older jax without the knob: cache still works
+        pass
 
 from stark_tpu.fields import FieldElement, Fp
 from stark_tpu.config import ProverConfig, DEFAULT_MODULUS, DEFAULT_GENERATOR

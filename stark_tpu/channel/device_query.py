@@ -147,6 +147,17 @@ def _log2(n: int) -> int:
     return n.bit_length() - 1
 
 
+def _rev_u32(x):
+    """Bit-reverse a u32 scalar (5 masked swaps); callers shift right by
+    (32 - k) for a k-bit reversal — maps node index -> storage column of
+    a bitrev-layout Merkle level (merkle.tree.MerkleTree.layouts)."""
+    x = ((x & _U32(0x55555555)) << _U32(1)) | ((x >> _U32(1)) & _U32(0x55555555))
+    x = ((x & _U32(0x33333333)) << _U32(2)) | ((x >> _U32(2)) & _U32(0x33333333))
+    x = ((x & _U32(0x0F0F0F0F)) << _U32(4)) | ((x >> _U32(4)) & _U32(0x0F0F0F0F))
+    x = ((x & _U32(0x00FF00FF)) << _U32(8)) | ((x >> _U32(8)) & _U32(0x00FF00FF))
+    return (x << _U32(16)) | (x >> _U32(16))
+
+
 class DeviceQueryPlan:
     """Jitted full query phase for one static configuration.
 
@@ -159,7 +170,8 @@ class DeviceQueryPlan:
 
     def __init__(self, rng: int, num_queries: int, offsets: tuple,
                  trace_len: int | None, fri_lengths: tuple,
-                 elem_width: int = 1, num_columns: int = 1):
+                 elem_width: int = 1, num_columns: int = 1,
+                 trace_prev: int = 0, fri_prev: tuple = ()):
         if rng <= 0 or rng >= 1 << 32:
             raise ValueError(f"draw range {rng} not in [1, 2^32)")
         if elem_width not in (1, 2):
@@ -177,6 +189,11 @@ class DeviceQueryPlan:
         self.elem_width = elem_width
         self.num_columns = num_columns
         self.fri_lengths = tuple(int(x) for x in fri_lengths)
+        # leading bitrev-plane level counts (MerkleTree.prev_depth): 0 for
+        # pure-AoS trees; fri_prev is per FRI tree (empty -> all AoS)
+        self.trace_prev = int(trace_prev)
+        self.fri_prev = tuple(int(x) for x in fri_prev) if fri_prev else (
+            (0,) * len(self.fri_lengths))
         self.script = build_script(len(self.offsets), self.fri_lengths)
         self._weights = jnp.asarray(_mod_weights(rng))
 
@@ -208,11 +225,22 @@ class DeviceQueryPlan:
         return _log2(self.fri_lengths[src[1]])
 
     # -- device program ---------------------------------------------------
-    def _gather_path(self, levels, j, h: int):
-        """Sibling digests for leaf j of a power-of-two tree: (h, 8)."""
+    def _gather_path(self, levels, j, h: int, prev: int = 0):
+        """Sibling digests for leaf j of a power-of-two tree: (h, 8).
+
+        The first `prev` levels are bitrev-plane (8, m) storage
+        (merkle.tree layouts): sibling node v = (j >> li) ^ 1 lives at
+        storage column rev_{h-li}(v); the rest are (m, 8) AoS rows."""
         if h == 0:
             return jnp.zeros((0, 8), _U32)
-        rows = [levels[li][(j >> _U32(li)) ^ _U32(1)] for li in range(h)]
+        rows = []
+        for li in range(h):
+            node = (j >> _U32(li)) ^ _U32(1)
+            if li < prev:
+                srow = _rev_u32(node) >> _U32(32 - (h - li))
+                rows.append(levels[li][:, srow])
+            else:
+                rows.append(levels[li][node])
         return jnp.stack(rows)
 
     def _run(self, state, f_evals, trace_levels, fri_layers, fri_levels,
@@ -263,16 +291,17 @@ class DeviceQueryPlan:
                 else:  # path
                     if src[0] == "trace_p":
                         j = idx + _U32(offsets[src[1]])
-                        digs = self._gather_path(
-                            trace_levels, j, _log2(self.trace_len))
                         h = _log2(self.trace_len)
+                        digs = self._gather_path(
+                            trace_levels, j, h, self.trace_prev)
                     else:
                         l, which = src[1], src[2]
                         h = _log2(self.fri_lengths[l])
                         j = idx & _U32(self.fri_lengths[l] - 1)
                         if which:
                             j = j ^ _U32(half[l])
-                        digs = self._gather_path(fri_levels[l], j, h)
+                        digs = self._gather_path(fri_levels[l], j, h,
+                                                 self.fri_prev[l])
                     outs.append(digs)
                     if h:
                         rows.append(_hex_rows(digs))
@@ -387,9 +416,10 @@ class DeviceQueryPlan:
 @functools.lru_cache(maxsize=None)
 def get_plan(rng: int, num_queries: int, offsets: tuple,
              trace_len: int | None, fri_lengths: tuple,
-             elem_width: int = 1, num_columns: int = 1) -> DeviceQueryPlan:
+             elem_width: int = 1, num_columns: int = 1,
+             trace_prev: int = 0, fri_prev: tuple = ()) -> DeviceQueryPlan:
     return DeviceQueryPlan(rng, num_queries, offsets, trace_len, fri_lengths,
-                           elem_width, num_columns)
+                           elem_width, num_columns, trace_prev, fri_prev)
 
 
 def supported(rng: int, trace_len: int | None, fri_lengths,

