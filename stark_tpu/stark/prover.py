@@ -192,9 +192,12 @@ def prove(
     width = _Fp.get(p).width
 
     # -- trace + LDE ------------------------------------------------------
+    from stark_tpu.utils.debug import maybe_assert_canonical
+
     with mx.phase("trace-lde", n=M):
         if trace is None:
             trace = air.build_trace(cfg)
+        maybe_assert_canonical(trace, p, "trace")
         publics = air.publics(trace)
         pub_vals = list(publics.values())
         coeffs = trace_polynomial(trace, p)
@@ -204,6 +207,7 @@ def prove(
             f_evals = dist_coset_evaluate(coeffs, p, M, h, mesh)
         else:
             f_evals = coset_evaluate(coeffs, p, M, h)
+        maybe_assert_canonical(f_evals, p, "trace-LDE (post-NTT)")
         _sync(f_evals)
 
     # The single-fetch fast path: trace commit, challenge draws, the whole
@@ -259,6 +263,7 @@ def prove(
     with mx.phase("composition"):
         ctx = get_air_context(air, cfg)
         cp = ctx.compose(f_evals, alphas, publics)
+        maybe_assert_canonical(cp, p, "composition poly")
         _sync(cp)
 
     # -- FRI ---------------------------------------------------------------
@@ -267,6 +272,8 @@ def prove(
             cp, p, h, channel, num_folds=num_folds, strict=strict,
             mesh=mesh,
         )
+        maybe_assert_canonical(
+            fri_proof.fri_layers, p, "FRI layers (post-fold)")
 
     # -- queries -----------------------------------------------------------
     # Sharded/phase-accurate proves: device query program when supported
@@ -383,16 +390,21 @@ def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,
         alphas = tuple(fs.draw() for _ in range(air.num_alphas))
         _sync(trace_tree.levels[-1], fs.state)
 
+    from stark_tpu.utils.debug import maybe_assert_canonical
+
     fs.mark("composition")
     with mx.phase("composition"):
         ctx = get_air_context(air, cfg)
         cp = ctx.compose(f_evals, alphas, publics)
+        maybe_assert_canonical(cp, p, "composition poly")
         _sync(cp)
 
     with mx.phase("fri-commit", folds=num_folds):
         fri_proof: FRIProof = fri_commit(
             cp, p, h, channel, num_folds=num_folds, strict=strict,
             fs=fs, defer=True)
+        maybe_assert_canonical(
+            fri_proof.fri_layers, p, "FRI layers (post-fold)")
         _sync(fri_proof.fri_layers[-1])
 
     # the canonical transcript sends the final FRI constant before the

@@ -28,13 +28,31 @@ def debug_enabled() -> bool:
 
 
 def assert_canonical(arr, p: int, name: str = "array") -> None:
-    """Host assertion: every element in [0, p)."""
+    """Host assertion: every element in [0, p).
+
+    Accepts the device layouts the prover actually carries: a single u32
+    plane (p < 2^32), a limb-plane pair with leading dim 2 — ``(2, ...)``
+    hi/lo u32 planes for 64-bit fields — or a tuple of per-column arrays
+    (multi-column traces/LDEs)."""
+    if isinstance(arr, (tuple, list)):
+        for c, a in enumerate(arr):
+            assert_canonical(a, p, f"{name}[col {c}]")
+        return
     host = np.asarray(arr)
-    bad = host >= np.uint32(p) if p < 1 << 32 else np.zeros_like(host, bool)
+    if p < 1 << 32:
+        vals = host.astype(np.uint64)
+    elif host.ndim >= 1 and host.shape[0] == 2:
+        vals = (host[0].astype(np.uint64) << np.uint64(32)) | host[1].astype(
+            np.uint64)
+    else:
+        raise AssertionError(
+            f"{name}: modulus {p} >= 2^32 but array shape {host.shape} is "
+            "not a (2, ...) hi/lo limb-plane pair")
+    bad = vals >= np.uint64(p)
     if bad.any():
         idx = int(np.argmax(bad.reshape(-1)))
         raise AssertionError(
-            f"{name}: non-canonical value {int(host.reshape(-1)[idx])} >= "
+            f"{name}: non-canonical value {int(vals.reshape(-1)[idx])} >= "
             f"modulus {p} at flat index {idx}"
         )
 

@@ -176,6 +176,41 @@ class TestDebugChecks:
         with pytest.raises(AssertionError):
             maybe_assert_canonical(bad, 97)
 
+    def test_limb_pair_canonical(self):
+        import numpy as np
+
+        from stark_tpu.utils.debug import assert_canonical
+
+        P64 = 2**64 - 2**32 + 1
+        good = np.array([[0, 1], [5, 0xFFFFFFFF]], dtype=np.uint32)
+        assert_canonical(good, P64)  # hi/lo planes, both < p
+        bad = np.array([[0xFFFFFFFF], [0xFFFFFFFF]], dtype=np.uint32)
+        with pytest.raises(AssertionError, match="non-canonical"):
+            assert_canonical(bad, P64)  # == 2^64-1 >= p
+
+    def test_prove_catches_planted_noncanonical(self, monkeypatch):
+        """A prove under STARK_TPU_DEBUG=1 must reject a trace containing
+        a non-canonical field value at the trace phase boundary (SURVEY
+        §5.2 — the debug flag guards the actual pipeline, not just the
+        helper)."""
+        import jax.numpy as jnp
+
+        from stark_tpu.config import ProverConfig
+        from stark_tpu.stark import prove
+        from stark_tpu.stark.air import FibonacciSquareAIR
+
+        cfg = ProverConfig(log2_trace=6, blowup=4, num_queries=2)
+        air = FibonacciSquareAIR(a1=3141592)
+        bad_trace = air.build_trace(cfg)
+        bad_trace = bad_trace.at[5].set(jnp.uint32(cfg.modulus))  # == p
+        monkeypatch.delenv("STARK_TPU_DEBUG", raising=False)
+        # flag off: no invariant check fires (strict=False because the
+        # corrupted trace legitimately fails FRI's constant check later)
+        prove(cfg, trace=bad_trace, strict=False)
+        monkeypatch.setenv("STARK_TPU_DEBUG", "1")
+        with pytest.raises(AssertionError, match="non-canonical"):
+            prove(cfg, trace=bad_trace, strict=False)
+
     def test_check_canonical_in_jit(self):
         import jax
         import jax.numpy as jnp
