@@ -37,73 +37,73 @@ def median_time(fn, reps=5, warmup=2):
     return statistics.median(ts)
 
 
-def chain_time(step, x0, iters, reps=3):
-    """Accurate device timing on the tunneled TPU: `block_until_ready`
-    there does NOT await completion, so we chain `iters` data-dependent
-    applications of `step` inside ONE jit and sync with a tiny (4-byte)
-    fetch; per-iteration time = total / iters."""
+def _chain_run(step, x0, iters, k, reps):
+    """Median wall of a jitted fori_loop of `iters` iterations whose body
+    applies `step` k times, synced by a 4-byte fetch."""
     import jax
     import numpy as np
 
+    def body(i, v):
+        for _ in range(k):
+            v = step(v)
+        return v
+
     @jax.jit
     def chained(x):
-        return jax.lax.fori_loop(0, iters, lambda i, v: step(v), x)
+        return jax.lax.fori_loop(0, iters, body, x)
 
     r = chained(x0)
-    _ = np.asarray(r.reshape(-1)[:1])  # warmup + real sync
+    _ = np.asarray(r.reshape(-1)[:1])  # compile + sync
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         r = chained(x0)
         _ = np.asarray(r.reshape(-1)[:1])
         ts.append(time.perf_counter() - t0)
-    # subtract the fetch latency measured on a no-op chain
-    return max(statistics.median(ts), 1e-9) / iters
+    return statistics.median(ts)
 
 
-def chain_marginal(step, x0, total=16, reps=3):
-    """Marginal per-application cost of `step`, excluding the fixed
-    per-loop-iteration overhead chain_time folds in.
+def chain_time(step, x0, iters=8, reps=3):
+    """Per-application cost of `step`, per-RUN overhead cancelled.
 
-    Measured on the tunneled v5e (benches/probe_injit_results.txt): a
-    fori_loop whose body is ONE transform pays a ~0.9 ms size-independent
-    cost per iteration on top of the kernel itself (the same affine
-    intercept fits both the XLA and Pallas NTT paths across 2^20..2^22).
-    In a real prove the transform is embedded in a longer fused program,
-    so the honest kernel figure is the slope, not total/iters: time the
-    same `total` applications once as (iters=total, k=1) and once as
-    (iters=total/4, k=4 chained per body), then solve
-        total*(f + v) = T1,  (total/4)*(f + 4v) = T4
-    for v = (4*T4 - T1) / (3*total).
-    """
-    import jax
+    The tunneled TPU pays a large fixed cost per dispatched run (~25 ms:
+    dispatch + 4-byte fetch + sync), so total/iters over-reports sub-ms
+    ops.  Difference two chain lengths at the same body instead:
 
-    def run(iters, k):
-        def body(i, v):
-            for _ in range(k):
-                v = step(v)
-            return v
+        T(N) = F + N*(f + v)   =>   v + f = (T(2N) - T(N)) / N
 
-        @jax.jit
-        def chained(x):
-            return jax.lax.fori_loop(0, iters, body, x)
+    (f = fori_loop per-iteration overhead, ~us — included, which is why
+    the NTT headline uses chain_marginal instead)."""
+    t1 = _chain_run(step, x0, iters, 1, reps)
+    t2 = _chain_run(step, x0, 2 * iters, 1, reps)
+    return max((t2 - t1) / iters, 1e-9)
 
-        import numpy as np
 
-        r = chained(x0)
-        _ = np.asarray(r.reshape(-1)[:1])  # compile + sync
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            r = chained(x0)
-            _ = np.asarray(r.reshape(-1)[:1])
-            ts.append(time.perf_counter() - t0)
-        return statistics.median(ts)
+def chain_marginal(step, x0, n_iters=8, reps=5, samples=3):
+    """Marginal per-application cost of `step` — per-run AND per-loop-
+    iteration overheads cancelled, with a stability report.
 
-    t1 = run(total, 1)
-    t4 = run(total // 4, 4)
-    v = (4 * t4 - t1) / (3 * total)
-    return max(v, 1e-9), t1 / total
+    Round 2's estimator compared T(total, k=1) vs T(total/4, k=4); with
+    per-run cost F that algebra leaves v + F/total — a +1.7 ms bias at
+    total=16 that tracked tunnel-latency drift (the r2 "instability":
+    2.57 / 2.28 / 1.74 ms were different F's, same v; probe_slope2.py).
+    Fix: hold the ITERATION count fixed and vary only the chain depth k:
+
+        T(N, k) = F + N*f + N*k*v   =>   v = (T(N,4) - T(N,1)) / (3N)
+
+    Returns (v_median, v_spread, T1/N) over `samples` estimates.  Only
+    valid when chained applications cannot be algebraically fused or
+    folded (an NTT chain qualifies; involutions like bitrev gathers, or
+    fusible elementwise ops, do NOT — XLA simplifies them)."""
+    vs, percall = [], []
+    for _ in range(samples):
+        t1 = _chain_run(step, x0, n_iters, 1, reps)
+        t4 = _chain_run(step, x0, n_iters, 4, reps)
+        vs.append(max((t4 - t1) / (3 * n_iters), 1e-9))
+        percall.append(t1 / n_iters)
+    vs.sort()
+    return (vs[len(vs) // 2], vs[-1] - vs[0],
+            statistics.median(percall))
 
 
 def main():
@@ -112,6 +112,8 @@ def main():
     ap.add_argument("--full-prove", action="store_true",
                     help="also run the 2^18-row full STARK prove")
     ap.add_argument("--cpu", action="store_true", help="pin to CPU backend")
+    ap.add_argument("--save-baseline", action="store_true",
+                    help="store this run as the regression baseline")
     args = ap.parse_args()
 
     # If the TPU tunnel is configured but dead, backend init would hang
@@ -160,7 +162,7 @@ def main():
     n_mul = 1 << (22 if args.quick else 25)
     a = dev_rand(n_mul, 1)
     b = dev_rand(n_mul, 2)
-    t = chain_time(lambda v: f.mul(v, b), a, iters=64)
+    t = chain_time(lambda v: f.mul(v, b), a, iters=32)
     results["field_mul_ops_per_s"] = n_mul / t
     log(f"field mul: {n_mul / t / 1e9:.2f} Gops/s/chip ({t*1e3:.2f} ms @ 2^{n_mul.bit_length()-1})")
 
@@ -175,12 +177,14 @@ def main():
     t0 = time.perf_counter()
     plan(x).block_until_ready()
     log(f"NTT 2^{log_n} compile+first run: {time.perf_counter()-t0:.1f} s")
-    t_ntt, t_percall = chain_marginal(lambda v: plan(v), x, total=16)
+    t_ntt, t_spread, t_percall = chain_marginal(lambda v: plan(v), x)
     results[f"ntt_2e{log_n}_ms"] = t_ntt * 1e3
+    results[f"ntt_2e{log_n}_spread_ms"] = t_spread * 1e3
     results[f"ntt_2e{log_n}_per_call_ms"] = t_percall * 1e3
-    log(f"NTT 2^{log_n}: {t_ntt*1e3:.2f} ms marginal "
-        f"({t_percall*1e3:.2f} ms incl. per-iteration overhead; "
-        f"{n * log_n / t_ntt / 1e9:.2f} G butterfly/s)")
+    log(f"NTT 2^{log_n}: {t_ntt*1e3:.3f} ms marginal (spread "
+        f"{t_spread*1e3:.3f}; {t_percall*1e3:.2f} ms per dispatched call "
+        f"incl. per-run overhead; {n * log_n / t_ntt / 1e9:.2f} G "
+        "butterfly/s)")
 
     # host numpy baseline on a smaller size, scaled n log n.  The input is
     # regenerated host-side with the same formula — NO device fetch (the
@@ -219,7 +223,7 @@ def main():
         levels = build(v)
         return v ^ levels[-1][0, 0]  # force dependency on the whole tree
 
-    t_mk = chain_time(mk_step, leaves, iters=8)
+    t_mk = chain_time(mk_step, leaves, iters=4)
     results[f"merkle_2e{log_m}_ms"] = t_mk * 1e3
     results["merkle_leaves_per_s"] = m / t_mk
     log(f"Merkle tree 2^{log_m} leaves: {t_mk*1e3:.1f} ms ({m/t_mk/1e6:.2f} M leaves/s)")
@@ -279,12 +283,16 @@ def main():
     for ph in mx.to_dict()["phases"]:
         phase_sum += ph["wall_s"]
         log(f"  phase {ph['name']}: {ph['wall_s']*1e3:.1f} ms")
-    # measured phase overlap (SURVEY §2.9 pipeline-parallel row): the
-    # un-synced prove pipelines device work across phase boundaries via
-    # async dispatch; the synced phase sum is the no-overlap wall
+    # async-dispatch saving (SURVEY §2.9 pipeline-parallel row): the
+    # un-synced prove overlaps device work across phase boundaries AND
+    # skips the per-phase tunnel sync, so (synced phase sum - warm wall)
+    # is an UPPER BOUND mixing true pipelining with avoided sync
+    # latency (~10 ms per forced sync) — recorded as such, not as a
+    # pure overlap measurement (r2 verdict weak #7)
     overlap = phase_sum - t_pv
-    results["prove_phase_overlap_ms"] = overlap * 1e3
-    log(f"  phase overlap (async dispatch pipelining): {overlap*1e3:.1f} ms "
+    results["prove_async_saving_upper_bound_ms"] = overlap * 1e3
+    log(f"  async-dispatch saving (overlap + avoided per-phase syncs, "
+        f"upper bound): {overlap*1e3:.1f} ms "
         f"({100*overlap/max(phase_sum,1e-9):.0f}% of synced phase sum)")
 
     # -- 6. other statement families (warm wall at a small size) ----------
@@ -331,6 +339,27 @@ def main():
     os.makedirs("benches", exist_ok=True)
     with open("benches/latest.json", "w") as fh:
         json.dump(results, fh, indent=2)
+
+    # -- regression gate (SURVEY §4: benchmarks double as regression
+    # tests; the reference ran Criterion's baseline comparison) ---------
+    from stark_tpu.utils.regression import compare, save_baseline
+
+    base_path = "benches/baseline.json"
+    regressed = False
+    for v in compare(results, base_path, threshold=0.15):
+        tag = v["verdict"].upper()
+        if tag == "REGRESSED":
+            regressed = True
+        if tag != "UNCHANGED":
+            log(f"  [{tag}] {v['metric']}: {v['current']:.4g} vs baseline "
+                f"{v['baseline']:.4g} ({v['change_pct']:+.1f}%)")
+    if regressed:
+        log("REGRESSED metrics above — investigate before accepting "
+            "(baseline: benches/baseline.json; refresh with "
+            "--save-baseline)")
+    if args.save_baseline or not os.path.exists(base_path):
+        save_baseline(results, base_path)
+        log(f"baseline saved to {base_path}")
 
     print(json.dumps({
         "metric": f"ntt_2e{log_n}_ms",

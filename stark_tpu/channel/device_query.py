@@ -85,19 +85,21 @@ def _pad_row(msg_bytes: int) -> np.ndarray:
 _CHAIN_ROW = np.zeros(16, dtype=np.uint32)       # placeholder (first=True)
 
 
-def _value_tail(ncols: int = 1) -> np.ndarray:
-    """Tail words of a value-send payload block: a row message of `ncols`
-    8-byte BE values is 16*ncols hex chars; the payload block is
-    [4*ncols hex words][0x80][zeros][bit length].  ncols <= 3 keeps it in
-    one block (16*ncols + 9 <= 64 bytes)."""
+def _value_rows(ncols: int) -> tuple:
+    """(full_rows, tail_row) for a value-send payload: a row message of
+    `ncols` 8-byte BE values is 16*ncols hex chars = 4*ncols hex words.
+    `full_rows` complete 16-word blocks spill first; the remainder plus
+    SHA padding ([0x80][zeros][bit length]) fills the tail block.  The
+    remainder is always 0/4/8/12 words, so the 9 padding bytes fit."""
     words = 4 * ncols
-    tail = np.zeros(16 - words, dtype=np.uint32)
+    full, rem = words // 16, words % 16
+    tail = np.zeros(16 - rem, dtype=np.uint32)
     tail[0] = 0x80000000
     tail[-1] = (64 + 16 * ncols) * 8
-    return tail
+    return full, tail
 
 
-_VALUE_TAIL = _value_tail(1)                     # 80-byte message
+_VALUE_TAIL = _value_rows(1)[1]                  # 80-byte message
 
 
 def _mod_weights(rng: int) -> np.ndarray:
@@ -176,9 +178,10 @@ class DeviceQueryPlan:
             raise ValueError(f"draw range {rng} not in [1, 2^32)")
         if elem_width not in (1, 2):
             raise ValueError(f"elem_width must be 1 or 2, got {elem_width}")
-        if not 1 <= num_columns <= 3 or (num_columns > 1 and elem_width != 1):
+        if not 1 <= num_columns <= 6:
             raise ValueError(
-                "device query phase supports 1..3 u32 trace columns")
+                "device query phase supports 1..6 trace columns (the "
+                "row-leaf commitment's one-block limit, sha256_row_leaves)")
         for ln in (fri_lengths + ((trace_len,) if trace_len else ())):
             if ln & (ln - 1):
                 raise ValueError("device query phase needs power-of-two sizes")
@@ -205,11 +208,17 @@ class DeviceQueryPlan:
             last_f.extend([False] * (n_payload_rows + 1) + [True])
             const_rows.append(tail_row)
 
+        self._vrow_full, self._vrow_tail = _value_rows(self.num_columns)
         for op in self.script:
             if op[0] == "draw":
                 msg(0, _pad_row(64))
             elif op[0] == "value":
-                msg(0, None)  # dynamic single row
+                # trace row messages of >3 columns spill full hex blocks
+                # before the padded tail; single values stay one block
+                full = (self._vrow_full
+                        if op[1][0] == "trace_v" and self.num_columns > 1
+                        else 0)
+                msg(full, None)  # dynamic row(s)
             else:  # path
                 h = self._height(op[1])
                 msg(h, _pad_row(64 + 64 * h))
@@ -276,18 +285,26 @@ class DeviceQueryPlan:
                         v = fri_layers[l][..., j]
                     outs.append(v)
                     if src[0] == "trace_v" and self.num_columns > 1:
-                        # row message: each column as u64 BE (high word 0)
-                        words = jnp.stack(
-                            [jnp.zeros_like(v), v], axis=-1).reshape(-1)
-                        tail = _value_tail(self.num_columns)
+                        # row message: each column as u64 BE — (C,) u32
+                        # pads a zero high word; (C, 2) limb pairs are
+                        # already (hi, lo)
+                        if self.elem_width == 2:
+                            words = v.reshape(-1)
+                        else:
+                            words = jnp.stack(
+                                [jnp.zeros_like(v), v], axis=-1).reshape(-1)
+                        hv = _hex_rows(words)
+                        blk = jnp.concatenate(
+                            [hv, jnp.asarray(self._vrow_tail)])
+                        rows.append(blk.reshape(self._vrow_full + 1, 16))
                     else:
                         # 16 hex chars of the 8-byte BE value
                         words = v if self.elem_width == 2 else jnp.stack(
                             [jnp.zeros((), _U32), v])
-                        tail = _VALUE_TAIL
-                    hv = _hex_rows(words)
-                    rows.append(
-                        jnp.concatenate([hv, jnp.asarray(tail)])[None])
+                        hv = _hex_rows(words)
+                        rows.append(
+                            jnp.concatenate([hv,
+                                             jnp.asarray(_VALUE_TAIL)])[None])
                 else:  # path
                     if src[0] == "trace_p":
                         j = idx + _U32(offsets[src[1]])
@@ -392,8 +409,14 @@ class DeviceQueryPlan:
                     src = op[1]
                     if src[0] == "trace_v" and self.num_columns > 1:
                         arr = np.asarray(data).reshape(-1)
-                        channel.send(b"".join(
-                            int(x).to_bytes(8, "big") for x in arr))
+                        if self.elem_width == 2:
+                            # (C, 2) hi/lo pairs -> C 8-byte BE values
+                            channel.send(np.ascontiguousarray(
+                                arr.astype(np.uint32)).astype(
+                                    ">u4").tobytes())
+                        else:
+                            channel.send(b"".join(
+                                int(x).to_bytes(8, "big") for x in arr))
                         continue
                     if self.elem_width == 2:
                         val = int(data[0]) << 32 | int(data[1])
@@ -425,12 +448,12 @@ def get_plan(rng: int, num_queries: int, offsets: tuple,
 def supported(rng: int, trace_len: int | None, fri_lengths,
               num_columns: int = 1, elem_width: int = 1) -> bool:
     """Whether the device path handles this configuration (power-of-two
-    sizes, draw range below 2^32, <= 3 u32 trace columns) — mirrors the
-    DeviceQueryPlan constructor checks so callers degrade to the host
-    query loop instead of crashing mid-prove."""
-    if not 0 < rng < 1 << 32 or not 1 <= num_columns <= 3:
+    sizes, draw range below 2^32, <= 6 trace columns over either field
+    width) — mirrors the DeviceQueryPlan constructor checks so callers
+    degrade to the host query loop instead of crashing mid-prove."""
+    if not 0 < rng < 1 << 32 or not 1 <= num_columns <= 6:
         return False
-    if num_columns > 1 and elem_width != 1:
+    if elem_width not in (1, 2):
         return False
     sizes = list(fri_lengths) + ([trace_len] if trace_len else [])
     return all(s > 0 and not (s & (s - 1)) for s in sizes)

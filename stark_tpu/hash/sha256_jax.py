@@ -106,7 +106,8 @@ def sha256_u64_leaves(hi, lo):
 def sha256_row_leaves(cols):
     """SHA-256 of multi-column row messages: leaf i hashes the
     concatenation of each column's value as 8-byte big-endian —
-    H(col_0[i] || ... || col_{C-1}[i]), cols (C, n) uint32 canonical.
+    H(col_0[i] || ... || col_{C-1}[i]), cols (C, n) uint32 canonical or
+    (C, 2, n) hi/lo limb planes for 64-bit fields.
 
     The multi-column commitment's leaf rule (the reference defines no
     multi-column layout — its trace/composition are 0-byte stubs); C = 1
@@ -115,11 +116,15 @@ def sha256_row_leaves(cols):
     C = int(cols.shape[0])
     if not 1 <= C <= 6:
         raise ValueError(f"row leaves support 1..6 columns, got {C}")
-    shape = cols.shape[1:]
+    wide = cols.ndim == 3 and cols.shape[1] == 2
+    shape = cols.shape[2:] if wide else cols.shape[1:]
     zero = jnp.zeros(shape, _U32)
     w = []
     for c in range(C):
-        w += [zero, cols[c]]  # u64 big-endian: high word 0, low word value
+        if wide:
+            w += [cols[c, 0], cols[c, 1]]  # u64 big-endian: hi, lo limbs
+        else:
+            w += [zero, cols[c]]  # u64 big-endian: high word 0, low value
     w.append(jnp.full(shape, _U32(0x80000000)))
     w += [zero] * (15 - len(w))
     w.append(jnp.full(shape, _U32(C * 64)))  # bit length of 8C bytes

@@ -157,10 +157,11 @@ def _build_jit(n: int, wide: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_columns_jit(c: int, n: int):
-    """Jitted multi-column tree build: (c, n) uint32 values -> digest
-    levels; leaf i = SHA-256(col_0[i] || ... || col_{c-1}[i] as 8-byte
-    BE each) — see hash.sha256_jax.sha256_row_leaves."""
+def _build_columns_jit(c: int, n: int, wide: bool = False):
+    """Jitted multi-column tree build: (c, n) uint32 values — or
+    (c, 2, n) hi/lo limb planes when `wide` — -> digest levels; leaf i =
+    SHA-256(col_0[i] || ... || col_{c-1}[i] as 8-byte BE each) — see
+    hash.sha256_jax.sha256_row_leaves."""
     from stark_tpu.hash.sha256_jax import sha256_row_leaves
 
     def build(cols):
@@ -211,15 +212,18 @@ class MerkleTree:
 
     @classmethod
     def from_columns(cls, cols) -> "MerkleTree":
-        """Commit a multi-column codeword: cols (C, n) uint32; leaf i =
-        SHA-256 of the row's concatenated 8-byte-BE column values (the
-        layout the multi-column AIRs open per query — verifier hashes the
-        received row message directly as the leaf preimage)."""
+        """Commit a multi-column codeword: cols (C, n) uint32 — or
+        (C, 2, n) hi/lo limb planes for 64-bit fields — leaf i = SHA-256
+        of the row's concatenated 8-byte-BE column values (the layout the
+        multi-column AIRs open per query — verifier hashes the received
+        row message directly as the leaf preimage)."""
         cols = jnp.asarray(cols, dtype=_U32)
-        if cols.ndim != 2 or cols.shape[0] < 1:
-            raise ValueError("from_columns needs a (C, n) array")
-        c, n = int(cols.shape[0]), int(cols.shape[1])
-        return cls(None, device_levels=_build_columns_jit(c, n)(cols))
+        if cols.ndim not in (2, 3) or cols.shape[0] < 1 or (
+                cols.ndim == 3 and cols.shape[1] != 2):
+            raise ValueError("from_columns needs a (C, n) or (C, 2, n) array")
+        c, n = int(cols.shape[0]), int(cols.shape[-1])
+        return cls(None, device_levels=_build_columns_jit(
+            c, n, cols.ndim == 3)(cols))
 
     @property
     def num_leaves(self) -> int:

@@ -278,10 +278,18 @@ def lde(values, p: int, blowup: int, offset: int) -> jax.Array:
 
 
 def coset_evaluate(coeffs, p: int, big_n: int, offset: int) -> jax.Array:
-    """Evaluate coefficient vector on {offset * W^i : i < big_n}."""
+    """Evaluate coefficient vector on {offset * W^i : i < big_n}.
+
+    Multi-column 64-bit inputs arrive (C, 2, n) (column-major rows); the
+    field ops want the limb plane leading, so the transform runs in
+    (2, C, n) and the result moves back (see trace.trace_polynomial)."""
     n = int(coeffs.shape[-1])
+    wide_cols = Fp.get(p).width > 1 and getattr(coeffs, "ndim", 1) == 3
+    if wide_cols:
+        coeffs = jnp.moveaxis(coeffs, 1, 0)
     scale = _scale_pad_jit(p, n, big_n, int(offset) % p)
-    return get_plan(p, big_n, False)(scale(coeffs))
+    out = get_plan(p, big_n, False)(scale(coeffs))
+    return jnp.moveaxis(out, 0, 1) if wide_cols else out
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,5 +1,4 @@
 from stark_tpu.stark.trace import fibonacci_square_trace, trace_polynomial
-from stark_tpu.stark.composition import CompositionContext, get_context
 from stark_tpu.stark.prover import StarkProof, prove
 from stark_tpu.stark.verifier import StarkVerificationError, verify
 from stark_tpu.stark.air import AIR, FibMulAIR, FibonacciSquareAIR, MimcAIR, air_from_name
@@ -9,7 +8,6 @@ from stark_tpu.stark.batch import prove_batch
 
 __all__ = [
     "fibonacci_square_trace", "trace_polynomial",
-    "CompositionContext", "get_context",
     "StarkProof", "prove", "verify", "StarkVerificationError",
     "AIR", "FibonacciSquareAIR", "MimcAIR", "FibMulAIR", "air_from_name",
     "AirSpec", "Boundary", "register_spec",

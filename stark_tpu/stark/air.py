@@ -373,11 +373,6 @@ class FibMulAIR(AIR):
         self.a0 = a0
         self.b0 = b0
 
-    def validate(self, cfg: ProverConfig) -> None:
-        cfg.validate()
-        if Fp.get(cfg.modulus).width != 1:
-            raise ValueError("FibMulAIR currently supports < 2^32 moduli")
-
     def build_trace(self, cfg: ProverConfig):
         from stark_tpu.stark.trace import host_or_device_trace
 
@@ -396,9 +391,17 @@ class FibMulAIR(AIR):
             first, last = ends  # (2,) per-column endpoints
             return {"input": int(first[0]), "output": int(last[1]),
                     "b0": int(first[1])}
-        t0 = np.asarray(trace[..., :1]).reshape(-1)
-        tl = np.asarray(trace[..., -1:]).reshape(-1)
-        return {"input": int(t0[0]), "output": int(tl[1]), "b0": int(t0[1])}
+        # device trace: (2, n) u32 or (2, 2, n) (col, limb, n) for 64-bit
+        t0 = np.asarray(trace[..., :1]).reshape(trace.shape[:-1])
+        tl = np.asarray(trace[..., -1:]).reshape(trace.shape[:-1])
+
+        def val(arr, c):
+            row = arr[c].reshape(-1)
+            return (int(row[0]) << 32 | int(row[1])) if row.shape[0] == 2 \
+                else int(row[0])
+
+        return {"input": val(t0, 0), "output": val(tl, 1),
+                "b0": val(t0, 1)}
 
     def num_folds(self, cfg: ProverConfig) -> int:
         return cfg.log2_trace  # CP degree < N
@@ -417,7 +420,8 @@ def _fibmul_trace_jit(p: int, length: int):
             return (b, f.mul(a, b)), jnp.stack([a, b])
 
         _, out = jax.lax.scan(step, (a0, b0), None, length=length)
-        return out.T  # (2, length)
+        # (length, 2[, 2]) -> (2[, 2], length): (col, [limb,] time)
+        return jnp.moveaxis(out, 0, -1)
 
     return jax.jit(gen)
 

@@ -301,10 +301,6 @@ class AirSpec(AIR):
     # -- AIR interface --------------------------------------------------
     def validate(self, cfg: ProverConfig) -> None:
         cfg.validate()
-        if self.num_columns > 1 and Fp.get(cfg.modulus).width != 1:
-            raise ValueError(
-                "multi-column AIRs currently require < 2^32 moduli"
-            )
         folds = self.num_folds(cfg)
         if cfg.eval_domain_size >> folds < 2:
             need = 2 << folds >> cfg.log2_trace
@@ -431,8 +427,9 @@ def _spec_trace_jit(spec: AirSpec, p: int, T: int, params: tuple):
 
         _, out = jax.lax.scan(body, init_rows, periodic_xs, length=T)
         # scan stacks rows along axis 0; move the row axis last:
-        # (T,) stays; (T, 2) -> (2, T); (T, C) -> (C, T)
-        return out if out.ndim == 1 else out.T
+        # (T,) stays; (T, 2) -> (2, T); (T, C) -> (C, T);
+        # (T, C, 2) -> (C, 2, T) — (col, limb, time), NOT a full .T
+        return out if out.ndim == 1 else jnp.moveaxis(out, 0, -1)
 
     fn = jax.jit(gen)
     _TRACE_JITS[key] = fn

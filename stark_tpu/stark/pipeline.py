@@ -20,7 +20,7 @@ from stark_tpu.fri.commit import _fold_jit, _inv_domain
 from stark_tpu.merkle.tree import _build_jit
 from stark_tpu.ntt.ntt import get_plan
 from stark_tpu.ntt.reference_ntt import root_of_unity
-from stark_tpu.stark.composition import get_context
+from stark_tpu.stark.air import _FibContext
 from stark_tpu.stark.trace import _trace_poly_jit
 
 _U32 = jnp.uint32
@@ -37,7 +37,7 @@ def build_prove_core(cfg: ProverConfig):
     N = cfg.trace_domain_size
     M = cfg.eval_domain_size
     h = cfg.offset
-    ctx = get_context(cfg)
+    ctx = _FibContext(cfg)
     trace_poly = _trace_poly_jit(p, N)
     plan_f = get_plan(p, M, False)
     merkle = _build_jit(M)

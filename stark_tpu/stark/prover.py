@@ -303,11 +303,11 @@ def prove(
                 collect_query_arrays, emit_plan, open_layout, plan_fri_query)
             from stark_tpu.utils.gather import BatchGather
 
-            # trace value arrays in gather row layout: one 1-D array per
-            # column, or the (M, 2)-transposed limb pairs for 64-bit
-            # fields (open_layout)
+            # trace value arrays in gather row layout: one array per
+            # column, each in open_layout ((M,) u32 pass-through or the
+            # (M, 2)-transposed limb pairs for 64-bit fields)
             if ncols > 1:
-                cols = tuple(f_evals[c] for c in range(ncols))
+                cols = tuple(open_layout(f_evals[c]) for c in range(ncols))
             else:
                 cols = (open_layout(f_evals),)
             t_axes = tuple(

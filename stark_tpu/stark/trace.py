@@ -77,9 +77,12 @@ def upload_trace(host_u64, p: int):
     if f.width == 1:
         dev = jnp.asarray(arr.astype(np.uint32))
     else:
+        # limb planes go right before the trace axis so multi-column
+        # traces keep (C, 2, n) — column-major rows, hi/lo per column
         dev = jnp.asarray(
             np.stack([(arr >> np.uint64(32)).astype(np.uint32),
-                      (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)]))
+                      (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)],
+                     axis=-2))
     key = id(dev)
     _trace_endpoints[key] = (arr[..., 0].copy(), arr[..., -1].copy())
     _weakref.finalize(dev, _trace_endpoints.pop, key, None)
@@ -136,8 +139,17 @@ def _trace_poly_jit(p: int, n: int, lead: tuple = ()):
 def trace_polynomial(trace, p: int):
     """Coefficients (..., N) of STARK-101's trace interpolant, top
     coefficient identically zero (degree <= N-2); leading axes (columns,
-    limb planes) batch."""
+    limb planes) batch.
+
+    Multi-column 64-bit traces arrive (C, 2, n) — column-major rows, the
+    layout the commitment and query phases consume — but the field ops
+    (fields/fp64.py) want the limb plane LEADING, so the transform runs
+    in (2, C, n) and the result moves back."""
     n = int(trace.shape[-1]) + 1
     if n & (n - 1):
         raise ValueError("trace length must be 2^k - 1")
-    return _trace_poly_jit(p, n, tuple(trace.shape[:-1]))(trace)
+    wide_cols = Fp.get(p).width > 1 and trace.ndim == 3
+    if wide_cols:
+        trace = jnp.moveaxis(trace, 1, 0)  # (C, 2, n) -> (2, C, n)
+    out = _trace_poly_jit(p, n, tuple(trace.shape[:-1]))(trace)
+    return jnp.moveaxis(out, 0, 1) if wide_cols else out

@@ -67,9 +67,10 @@ def _zeros(shape):
 
 
 def _eshape(n: int, width: int, ncols: int = 1):
-    """Device shape of an n-element value array."""
+    """Device shape of an n-element value array: (n,) u32, (2, n) limb
+    planes, (C, n) columns, or (C, 2, n) wide columns."""
     if ncols > 1:
-        return (ncols, n)
+        return (ncols, 2, n) if width == 2 else (ncols, n)
     return (2, n) if width == 2 else (n,)
 
 

@@ -215,13 +215,16 @@ class TestFibMul:
         assert prove(CFG, air=FibMulAIR(a0=1, b0=2718281),
                      mesh=mesh).proof == single.proof
 
-    def test_wide_field_rejected(self):
+    def test_wide_field_roundtrip(self):
+        """Round 3 lifted the multi-column x 64-bit restriction: fibmul
+        over Goldilocks proves and verifies (the single-fetch golden
+        vector lives in test_golden_vectors)."""
         from stark_tpu.stark import FibMulAIR
 
         cfg64 = ProverConfig(modulus=2**64 - 2**32 + 1, generator=7,
                              log2_trace=6, blowup=4, num_queries=4)
-        with pytest.raises(ValueError, match="2\\^32"):
-            prove(cfg64, air=FibMulAIR())
+        pf = prove(cfg64, air=FibMulAIR())
+        assert verify(pf)
 
 
 class TestRegistry:

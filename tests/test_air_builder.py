@@ -285,13 +285,15 @@ class TestSpecValidation:
         with pytest.raises(ValueError, match="unknown"):
             TRIBMUL(nope=1)
 
-    def test_multicolumn_goldilocks_rejected(self):
+    def test_multicolumn_goldilocks_accepted(self):
+        """Round 3 lifted the multi-column x 64-bit restriction; the
+        end-to-end roundtrip lives in test_device_query
+        (test_tribmul_goldilocks_roundtrip)."""
         cfg = ProverConfig(
             modulus=GOLDILOCKS, generator=7, log2_trace=6, blowup=4,
             num_queries=4,
         )
-        with pytest.raises(ValueError, match="multi-column"):
-            TRIBMUL().validate(cfg)
+        TRIBMUL().validate(cfg)  # must not raise
 
     def test_param_public_collision(self):
         with pytest.raises(ValueError, match="double-bound"):
