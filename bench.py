@@ -63,7 +63,7 @@ def _chain_run(step, x0, iters, k, reps):
     return statistics.median(ts)
 
 
-def chain_time(step, x0, iters=8, reps=3):
+def chain_time(step, x0, iters=8, reps=3, samples=3):
     """Per-application cost of `step`, per-RUN overhead cancelled.
 
     The tunneled TPU pays a large fixed cost per dispatched run (~25 ms:
@@ -73,13 +73,19 @@ def chain_time(step, x0, iters=8, reps=3):
         T(N) = F + N*(f + v)   =>   v + f = (T(2N) - T(N)) / N
 
     (f = fori_loop per-iteration overhead, ~us — included, which is why
-    the NTT headline uses chain_marginal instead)."""
-    t1 = _chain_run(step, x0, iters, 1, reps)
-    t2 = _chain_run(step, x0, 2 * iters, 1, reps)
-    return max((t2 - t1) / iters, 1e-9)
+    the NTT headline uses chain_marginal instead).  F drifts several ms
+    over minutes on the tunnel, so each estimate pairs adjacent runs and
+    the median of `samples` estimates is returned."""
+    vs = []
+    for _ in range(samples):
+        t1 = _chain_run(step, x0, iters, 1, reps)
+        t2 = _chain_run(step, x0, 2 * iters, 1, reps)
+        vs.append(max((t2 - t1) / iters, 1e-9))
+    vs.sort()
+    return vs[len(vs) // 2]
 
 
-def chain_marginal(step, x0, n_iters=8, reps=5, samples=3):
+def chain_marginal(step, x0, n_iters=24, reps=3, samples=5):
     """Marginal per-application cost of `step` — per-run AND per-loop-
     iteration overheads cancelled, with a stability report.
 
@@ -94,7 +100,13 @@ def chain_marginal(step, x0, n_iters=8, reps=5, samples=3):
     Returns (v_median, v_spread, T1/N) over `samples` estimates.  Only
     valid when chained applications cannot be algebraically fused or
     folded (an NTT chain qualifies; involutions like bitrev gathers, or
-    fusible elementwise ops, do NOT — XLA simplifies them)."""
+    fusible elementwise ops, do NOT — XLA simplifies them).
+
+    F also DRIFTS several ms over minutes, which leaks into each
+    estimate as dF/(3N) — n_iters=24 keeps a 25 ms drift under 0.35 ms,
+    and the median over `samples` interleaved estimates rejects the
+    drifty ones (the r3 driver-run guard; spread is recorded so drift is
+    visible in BENCH artifacts)."""
     vs, percall = [], []
     for _ in range(samples):
         t1 = _chain_run(step, x0, n_iters, 1, reps)
@@ -223,7 +235,7 @@ def main():
         levels = build(v)
         return v ^ levels[-1][0, 0]  # force dependency on the whole tree
 
-    t_mk = chain_time(mk_step, leaves, iters=4)
+    t_mk = chain_time(mk_step, leaves, iters=8)
     results[f"merkle_2e{log_m}_ms"] = t_mk * 1e3
     results["merkle_leaves_per_s"] = m / t_mk
     log(f"Merkle tree 2^{log_m} leaves: {t_mk*1e3:.1f} ms ({m/t_mk/1e6:.2f} M leaves/s)")

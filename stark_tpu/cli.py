@@ -13,12 +13,30 @@ import sys
 import time
 
 
+# named field shortcuts: (modulus, multiplicative generator)
+_FIELDS = {
+    "stark101": (3 * 2**30 + 1, 5),
+    "goldilocks": (2**64 - 2**32 + 1, 7),
+}
+
+
+def _field(value: str):
+    if value in _FIELDS:
+        return _FIELDS[value]
+    return (int(value), None)
+
+
 def _add_config_args(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--log2-trace", type=int, default=10,
                     help="trace rows = 2^k - 1 (default 10: STARK-101 shape)")
     ap.add_argument("--blowup", type=int, default=8)
     ap.add_argument("--num-queries", type=int, default=16)
-    ap.add_argument("--modulus", type=int, default=None)
+    ap.add_argument("--modulus", type=_field, default=None, metavar="P",
+                    help="field modulus (int), or a name: "
+                    + ", ".join(_FIELDS))
+    ap.add_argument("--generator", type=int, default=None,
+                    help="multiplicative generator of GF(p) (auto for "
+                    "named fields)")
     ap.add_argument("--cpu", action="store_true", help="pin to local CPU backend")
     ap.add_argument("--mesh", type=int, default=None, metavar="N",
                     help="shard over an N-device mesh")
@@ -27,11 +45,16 @@ def _add_config_args(ap: argparse.ArgumentParser) -> None:
 def _make_config(args):
     from stark_tpu.config import DEFAULT_MODULUS, ProverConfig
 
+    modulus, gen = args.modulus if args.modulus else (DEFAULT_MODULUS, None)
+    if args.generator is not None:
+        gen = args.generator
+    kw = {"generator": gen} if gen is not None else {}
     return ProverConfig(
-        modulus=args.modulus or DEFAULT_MODULUS,
+        modulus=modulus,
         log2_trace=args.log2_trace,
         blowup=args.blowup,
         num_queries=args.num_queries,
+        **kw,
     )
 
 

@@ -250,8 +250,12 @@ def _bitrev_vals_jit(n: int, wide: bool):
     log_n = n.bit_length() - 1
     n1 = 1 << (log_n // 2)
     n2 = n // n1
-    rev1 = jnp.asarray(_bitrev_host(n1))
-    rev2 = jnp.asarray(_bitrev_host(n2))
+    # keep the index tables as NUMPY in the closure: jnp.asarray here
+    # would bind a tracer if this cache entry is first built while an
+    # outer trace is live (e.g. prewarm tracing a fused FRI layer) and
+    # every later use would raise UnexpectedTracerError
+    rev1 = _bitrev_host(n1)
+    rev2 = _bitrev_host(n2)
 
     def run(values):
         lead = values.shape[:-1]
@@ -321,7 +325,7 @@ def _tail_jit(size: int):
     [(size/2, 8), ..., (1, 8)] via one conversion + the XLA scan."""
     from stark_tpu.merkle.tree import _tail_scan
 
-    rev = jnp.asarray(_bitrev_host(size))
+    rev = _bitrev_host(size)  # numpy on purpose — see _bitrev_vals_jit
     k = size.bit_length() - 1
 
     def run(planes):
