@@ -43,13 +43,15 @@ for log2_tr in (18, 20, 22, 24):
     pf = prove(cfg)
     cold = time.perf_counter() - t0
     log(f"2^{log2_tr} rows cold (compiles): {cold:.1f} s")
+    import statistics
+
     ts = []
     for _ in range(3 if log2_tr < 24 else 2):
         t0 = time.perf_counter()
         prove(cfg)
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    warm = ts[len(ts) // 2]
+    warm = statistics.median(ts)  # true median (2-run case averages)
     ok = verify(pf)
     log(f"2^{log2_tr} rows warm: {warm*1e3:.0f} ms (runs: "
         f"{', '.join(f'{t*1e3:.0f}' for t in ts)} ms) verified={ok}")

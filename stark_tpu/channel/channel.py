@@ -154,6 +154,11 @@ class VerifierChannel:
             raise ChannelError("receive_* before any message")
         state_int = int(self.state, 16)
         rng = (max_ - min_) + 1
+        if rng <= 0:
+            # the verifier is the adversarial-input surface — guard like
+            # the prover twin (channel.rs has no such guard; a rng <= 0
+            # would be a bare ZeroDivisionError otherwise)
+            raise ChannelError(f"empty range [{min_}, {max_}]")
         num = (state_int + min_) % rng
         self.state = _sha256_hex(self.state)
         num64 = num & _MASK64

@@ -122,6 +122,19 @@ class TestVerifierChannel:
         assert v.state == ch.state
         assert v.cursor == len(ch.proof)
 
+    def test_empty_range_raises_channel_error(self):
+        # the verifier is the adversarial-input surface: rng <= 0 must be
+        # a ChannelError, not a bare ZeroDivisionError (mirrors the
+        # prover-side guard; VERDICT r3 weak #5)
+        ch = Channel(P)
+        ch.send(b"x")
+        v = VerifierChannel(P, ch.proof)
+        v.read()
+        with pytest.raises(ChannelError, match="empty range"):
+            v.receive_random_int(5, 4)
+        with pytest.raises(ChannelError, match="empty range"):
+            v.receive_random_int(0, -1)
+
     def test_replay_detects_tampering(self):
         ch = Channel(P)
         ch.send(b"x")
