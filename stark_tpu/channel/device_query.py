@@ -234,22 +234,31 @@ class DeviceQueryPlan:
         return _log2(self.fri_lengths[src[1]])
 
     # -- device program ---------------------------------------------------
-    def _gather_path(self, levels, j, h: int, prev: int = 0):
+    def _gather_path(self, flat_levels, j, h: int, prev: int, n: int):
         """Sibling digests for leaf j of a power-of-two tree: (h, 8).
 
-        The first `prev` levels are bitrev-plane (8, m) storage
-        (merkle.tree layouts): sibling node v = (j >> li) ^ 1 lives at
-        storage column rev_{h-li}(v); the rest are (m, 8) AoS rows."""
+        `flat_levels` are the digest levels FLATTENED to 1-D (see _run):
+        the first `prev` levels are bitrev-plane (8, m) storage
+        (merkle.tree layouts) — sibling node v = (j >> li) ^ 1 lives at
+        flat position w*m + rev_{h-li}(v) for word w; the rest are
+        (m, 8) AoS rows at node*8 + w.  Gathering 2-D levels directly
+        makes XLA copy each whole level into a transposed T(8,128) temp
+        inside the query scan — a 16x pad of the 8-word axis that OOMed
+        the 2^22 prove at 47.8 GB (probe_bigtrace r4); 1-D gathers give
+        the compiler no layout choice."""
         if h == 0:
             return jnp.zeros((0, 8), _U32)
         rows = []
+        w8 = jnp.arange(8, dtype=_U32)
         for li in range(h):
+            m = n >> li  # nodes at level li
             node = (j >> _U32(li)) ^ _U32(1)
             if li < prev:
                 srow = _rev_u32(node) >> _U32(32 - (h - li))
-                rows.append(levels[li][:, srow])
+                rows.append(flat_levels[li][srow + _U32(m) * w8])
             else:
-                rows.append(levels[li][node])
+                rows.append(jax.lax.dynamic_slice(
+                    flat_levels[li], (node * _U32(8),), (8,)))
         return jnp.stack(rows)
 
     def _run(self, state, f_evals, trace_levels, fri_layers, fri_levels,
@@ -261,6 +270,12 @@ class DeviceQueryPlan:
         round-trips (hash/pallas_chain.py)."""
         offsets = self.offsets
         half = [ln // 2 for ln in self.fri_lengths]
+        # flatten every digest level ONCE (outside the scan): bitrev
+        # (8, m) planes flatten to a bitcast; AoS (m, 8) levels pay at
+        # most one linear copy.  See _gather_path for why.
+        trace_flat = tuple(lv.reshape(-1) for lv in trace_levels)
+        fri_flat = tuple(tuple(lv.reshape(-1) for lv in lvl)
+                         for lvl in fri_levels)
 
         def qbody(chain, _):
             idx = _mod_state(chain, self._weights, self.rng)
@@ -310,15 +325,17 @@ class DeviceQueryPlan:
                         j = idx + _U32(offsets[src[1]])
                         h = _log2(self.trace_len)
                         digs = self._gather_path(
-                            trace_levels, j, h, self.trace_prev)
+                            trace_flat, j, h, self.trace_prev,
+                            self.trace_len)
                     else:
                         l, which = src[1], src[2]
                         h = _log2(self.fri_lengths[l])
                         j = idx & _U32(self.fri_lengths[l] - 1)
                         if which:
                             j = j ^ _U32(half[l])
-                        digs = self._gather_path(fri_levels[l], j, h,
-                                                 self.fri_prev[l])
+                        digs = self._gather_path(fri_flat[l], j, h,
+                                                 self.fri_prev[l],
+                                                 self.fri_lengths[l])
                     outs.append(digs)
                     if h:
                         rows.append(_hex_rows(digs))
