@@ -117,3 +117,14 @@ class TestDistProve:
         p2 = prove(cfg, mesh=_cpu_mesh(2))
         p4 = prove(cfg, mesh=_cpu_mesh(4))
         assert p2.proof == p4.proof
+
+    def test_sharded_prove_takes_single_fetch_path(self):
+        """r3 verdict item 4: a mesh prove must run the device-FS
+        single-fetch pipeline (no per-query host round trips), not the
+        per-phase fallback — asserted via the prover breadcrumb."""
+        from stark_tpu.stark import prover as pm
+
+        cfg = ProverConfig(log2_trace=6, blowup=4, num_queries=2)
+        pf = prove(cfg, mesh=_cpu_mesh(4))
+        assert pm.LAST_PROVE_PATH == "single-fetch-mesh"
+        assert verify(pf)
