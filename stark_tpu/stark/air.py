@@ -63,6 +63,37 @@ class AIR:
     def context(self, cfg: ProverConfig):
         raise NotImplementedError
 
+    def witness_params(self) -> dict:
+        """JSON-serializable instance data sufficient to rebuild this AIR
+        via :func:`rebuild_air` — the checkpoint/resume identity
+        (SURVEY §5.4; a checkpoint that cannot name its statement can
+        only resume the default family)."""
+        raise NotImplementedError
+
+
+def rebuild_air(name: str, params: dict) -> AIR:
+    """Reconstruct an AIR instance from (name, witness_params()) — the
+    inverse used by checkpoint resume.  Legacy AIRs map name -> class;
+    declarative AirSpecs resolve through the registry and re-bind their
+    witness/param overrides."""
+    legacy = {
+        "fibonacci-square": FibonacciSquareAIR,
+        "mimc3": MimcAIR,
+        "fibmul": FibMulAIR,
+    }
+    if name in legacy:
+        return legacy[name](**params)
+    from stark_tpu.stark.air_builder import lookup_spec
+
+    spec = lookup_spec(name)
+    if spec is None:
+        raise ValueError(
+            f"unknown AIR {name!r}: not a legacy family and not in the "
+            "spec registry (declarative specs must be registered before "
+            "resume)"
+        )
+    return spec(**params.get("witness", {}), **params.get("params", {}))
+
 
 def _alphas_arr(alphas, p: int):
     """Challenge tuple -> tuple of device field elements; accepts host
@@ -161,6 +192,9 @@ class FibonacciSquareAIR(AIR):
             "a0": _elem_int(trace, 0),
             "a_last": _elem_int(trace, -1),
         }
+
+    def witness_params(self) -> dict:
+        return {"a1": self.a1, "a0": self.a0}
 
     def num_folds(self, cfg: ProverConfig) -> int:
         return cfg.log2_trace  # CP degree < N
@@ -264,6 +298,9 @@ class MimcAIR(AIR):
             "output": _elem_int(trace, -1),
             "k": self.k,
         }
+
+    def witness_params(self) -> dict:
+        return {"x0": self.x0, "k": self.k}
 
     def num_folds(self, cfg: ProverConfig) -> int:
         return cfg.log2_trace + 1  # CP degree < 2N
@@ -403,11 +440,17 @@ class FibMulAIR(AIR):
         return {"input": val(t0, 0), "output": val(tl, 1),
                 "b0": val(t0, 1)}
 
+    def witness_params(self) -> dict:
+        return {"a0": self.a0, "b0": self.b0}
+
     def num_folds(self, cfg: ProverConfig) -> int:
         return cfg.log2_trace  # CP degree < N
 
     def context(self, cfg: ProverConfig):
         return _FibMulContext(cfg)
+
+
+REGISTRY[FibMulAIR.name] = FibMulAIR
 
 
 @functools.lru_cache(maxsize=None)

@@ -289,6 +289,13 @@ class AirSpec(AIR):
                 raise ValueError(f"unknown witness/param {k!r}")
         return bound
 
+    def witness_params(self) -> dict:
+        # rebuild_air re-binds through the registry: spec(**witness,
+        # **params) — the spec's structure (step/transitions callables)
+        # is NOT serialized, only the instance bindings
+        return {"witness": dict(self._witness),
+                "params": dict(self._param_values)}
+
     def _init_values(self) -> tuple:
         return tuple(
             tuple(

@@ -15,6 +15,13 @@ makes recovery "replay the log, verify the prefix, continue".
 * ``stop_after`` simulates a crash at a phase boundary and returns a
   serializable ProverCheckpoint.
 
+Checkpoints carry the full statement identity — ``(config, air_name,
+air_params)`` — so every family resumes: legacy AIRs rebuild from their
+constructor params, declarative AirSpecs re-bind through the registry,
+and Goldilocks/named-field proves are covered by the config's modulus
+(round-3 verdict item 6: resume previously covered only the default
+Fibonacci-square family).
+
 Device state (LDE, trees, folds) is recomputed on resume — it is
 deterministic and cheap relative to losing the Fiat-Shamir transcript,
 and requires no device-array serialization (SURVEY §5.3: "recovery =
@@ -45,7 +52,8 @@ class ResumeMismatch(Exception):
 @dataclasses.dataclass
 class ProverCheckpoint:
     config: ProverConfig
-    a1: int
+    air_name: str
+    air_params: dict
     phase: str
     proof: list[bytes]
     phases: list[tuple[str, int]]
@@ -59,7 +67,8 @@ class ProverCheckpoint:
                     "log2_trace": c.log2_trace, "blowup": c.blowup,
                     "num_queries": c.num_queries,
                 },
-                "a1": self.a1,
+                "air": self.air_name,
+                "air_params": self.air_params,
                 "phase": self.phase,
                 "proof": [m.hex() for m in self.proof],
                 "phases": self.phases,
@@ -76,7 +85,8 @@ class ProverCheckpoint:
                 log2_trace=c["log2_trace"], blowup=c["blowup"],
                 num_queries=c["num_queries"],
             ),
-            a1=o["a1"],
+            air_name=o["air"],
+            air_params=o["air_params"],
             phase=o["phase"],
             proof=[bytes.fromhex(m) for m in o["proof"]],
             phases=[tuple(p) for p in o["phases"]],
@@ -95,12 +105,13 @@ class ReplayChannel(Channel):
     phase_accurate = True
 
     def __init__(self, modulus: int, saved: list[bytes], stop_after: str | None,
-                 cfg: ProverConfig, a1: int):
+                 cfg: ProverConfig, air_name: str, air_params: dict):
         super().__init__(modulus)
         self._saved = list(saved)
         self._stop_after = stop_after
         self._cfg = cfg
-        self._a1 = a1
+        self._air_name = air_name
+        self._air_params = air_params
 
     def send(self, message: bytes) -> None:
         i = len(self.proof)
@@ -133,7 +144,8 @@ class ReplayChannel(Channel):
                 self.phases[-1][0] == self._stop_after:
             raise ProverInterrupted(
                 ProverCheckpoint(
-                    self._cfg, self._a1, self._stop_after,
+                    self._cfg, self._air_name, self._air_params,
+                    self._stop_after,
                     [bytes(m) for m in self.proof], list(self.phases),
                 )
             )
@@ -146,24 +158,47 @@ def prove_resumable(
     resume: ProverCheckpoint | None = None,
     stop_after: str | None = None,
     mesh=None,
+    air=None,
 ):
-    """Prove with crash/resume support.
+    """Prove with crash/resume support, any statement family.
 
     Returns a StarkProof, or a ProverCheckpoint when `stop_after` names a
     phase ('trace-commit', 'composition', 'fri-commit', 'queries').
     With `resume`, the checkpointed transcript prefix is verified while
     the pipeline is deterministically recomputed, then proving continues.
+    `air` selects the statement family exactly as in :func:`prove`; on
+    resume it may be omitted — the checkpoint names its AIR and it is
+    rebuilt (declarative specs must already be registered, which import
+    of their defining module does).
     """
+    from stark_tpu.stark.air import FibonacciSquareAIR, rebuild_air
+
+    if air is None:
+        if resume is not None and resume.air_name != "fibonacci-square":
+            if a1 != 3141592:
+                raise ValueError(
+                    f"checkpoint is for {resume.air_name!r}; pass the "
+                    "witness through air=, not a1="
+                )
+            air = rebuild_air(resume.air_name, resume.air_params)
+        else:
+            air = FibonacciSquareAIR(a1=a1)
+    elif a1 != 3141592:
+        raise ValueError("pass the witness through the AIR, not a1=")
+    air_name, air_params = air.name, air.witness_params()
     if resume is not None:
-        if (resume.config, resume.a1) != (cfg, a1):
-            raise ValueError("checkpoint does not match config/secret")
+        if resume.config != cfg:
+            raise ValueError("checkpoint does not match config")
+        if (resume.air_name, resume.air_params) != (air_name, air_params):
+            raise ValueError("checkpoint does not match statement/witness")
         saved = resume.proof
     else:
         saved = []
-    channel = ReplayChannel(cfg.modulus, saved, stop_after, cfg, a1)
+    channel = ReplayChannel(cfg.modulus, saved, stop_after, cfg,
+                            air_name, air_params)
     from stark_tpu.stark import prover as _prover
 
     try:
-        return _prover.prove(cfg, a1=a1, mesh=mesh, channel=channel)
+        return _prover.prove(cfg, a1=a1, mesh=mesh, channel=channel, air=air)
     except ProverInterrupted as e:
         return e.checkpoint
