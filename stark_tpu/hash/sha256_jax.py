@@ -103,7 +103,7 @@ def sha256_u64_leaves(hi, lo):
     return jnp.stack(out, axis=-1)
 
 
-def sha256_row_leaves(cols):
+def sha256_row_leaves(cols, wide=None):
     """SHA-256 of multi-column row messages: leaf i hashes the
     concatenation of each column's value as 8-byte big-endian —
     H(col_0[i] || ... || col_{C-1}[i]), cols (C, n) uint32 canonical or
@@ -112,11 +112,18 @@ def sha256_row_leaves(cols):
     The multi-column commitment's leaf rule (the reference defines no
     multi-column layout — its trace/composition are 0-byte stubs); C = 1
     coincides exactly with sha256_u64_leaves.  C <= 6 keeps the message
-    in one compression block (8C + 1 + 8 <= 64 bytes)."""
+    in one compression block (8C + 1 + 8 <= 64 bytes).
+
+    `wide` disambiguates a (C, 2, n) limb-plane input from a (C, B, n)
+    batched-lane input with B == 2 — pass it explicitly whenever the
+    lane shape itself can be (2, n) (stark.batch's batched trees; the
+    auto-detection would silently mis-frame the hash and the level loop
+    above it never terminates)."""
     C = int(cols.shape[0])
     if not 1 <= C <= 6:
         raise ValueError(f"row leaves support 1..6 columns, got {C}")
-    wide = cols.ndim == 3 and cols.shape[1] == 2
+    if wide is None:
+        wide = cols.ndim == 3 and cols.shape[1] == 2
     shape = cols.shape[2:] if wide else cols.shape[1:]
     zero = jnp.zeros(shape, _U32)
     w = []

@@ -38,8 +38,18 @@ _U32 = jnp.uint32
 
 # -- batched building blocks (leading batch axis B) --------------------------
 def _batched_levels(values):
-    """Merkle levels over axis -1: values (B, n) -> [(B, n, 8), ...]."""
-    level = sha256_u64_leaves(jnp.zeros_like(values), values)  # (B, n, 8)
+    """Merkle levels over axis -1: values (B, n) -> [(B, n, 8), ...].
+    Multi-column codewords arrive (B, C, n): leaf i is the row hash
+    H(col_0[i] || ... || col_{C-1}[i]) exactly as MerkleTree.from_columns
+    (the lane shape (B, n) rides through sha256_row_leaves)."""
+    if values.ndim == 3:  # (B, C, n) -> row leaves (B, n, 8)
+        from stark_tpu.hash.sha256_jax import sha256_row_leaves
+
+        # wide=False: the lane shape (B, n) with B == 2 would otherwise
+        # be auto-detected as a (C, 2, n) limb-plane input
+        level = sha256_row_leaves(jnp.moveaxis(values, 1, 0), wide=False)
+    else:
+        level = sha256_u64_leaves(jnp.zeros_like(values), values)  # (B, n, 8)
     levels = [level]
     while level.shape[1] > 1:
         level = sha256_pairs(level[:, 0::2], level[:, 1::2])
@@ -81,15 +91,17 @@ def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
     N = cfg.trace_domain_size
     M = cfg.eval_domain_size
     h = cfg.offset
-    trace_poly = _trace_poly_jit(p, N)
-    plan_f = get_plan(p, M, False)
     air = _rebuild_air(*air_key)
+    ncols = getattr(air, "num_columns", 1)
+    lead = (batch, ncols) if ncols > 1 else (batch,)
+    trace_poly = _trace_poly_jit(p, N, lead)
+    plan_f = get_plan(p, M, False)
     num_folds = air.num_folds(cfg)
     ctx = get_air_context(air, cfg)
 
     # per-proof composer over positional publics (B, n_pub): declarative
-    # specs take all boundary publics in declaration order; the legacy
-    # hand-written families take their two statement values
+    # specs take all boundary publics in declaration order; legacy
+    # families take their statement values in their _compose_tables order
     if isinstance(air, AirSpec):
         pvals = tuple(
             f.const(v) for _, v in sorted(air._param_values.items())
@@ -99,6 +111,13 @@ def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
             return ctx._compose_tables(
                 lde, tuple(al), tuple(pubs), pvals, ctx.binvs,
                 ctx.trans_mult, ctx.periodic_small,
+            )
+    elif ncols > 1:  # FibMulAIR: pubs (input a0, b0, output b_last)
+
+        def composer(lde, al, pubs):
+            return ctx._compose_tables(
+                lde, tuple(al), pubs[0], pubs[1], pubs[2],
+                ctx.inv_b0, ctx.inv_b1, ctx.trans_mult,
             )
     else:
 
@@ -115,10 +134,10 @@ def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
         off = off * off % p
 
     def run(traces, publics_dev):
-        # trace polynomial + LDE, batched
-        coeffs = jax.vmap(trace_poly)(traces)              # (B, N)
-        shifted = f.mul(coeffs, off_pows[None, :])
-        padded = jnp.zeros((batch, M), _U32).at[:, :N].set(shifted)
+        # trace polynomial + LDE, batched over (B[, C]) leading axes
+        coeffs = trace_poly(traces)                        # (B[, C], N)
+        shifted = f.mul(coeffs, off_pows)
+        padded = jnp.zeros(lead + (M,), _U32).at[..., :N].set(shifted)
         f_evals = plan_f(padded)                           # batched stages
 
         # trace Merkle + FS absorb + alpha draws, batched over proofs
@@ -179,11 +198,11 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
     if any(a.name != air0.name or _family_param(a) != _family_param(air0)
            for a in airs):
         raise ValueError("prove_batch needs AIRs of one family/parameterization")
-    if getattr(air0, "num_columns", 1) != 1 or Fp.get(cfg.modulus).width != 1:
+    if Fp.get(cfg.modulus).width != 1:
         raise ValueError(
-            "prove_batch currently supports single-column AIRs over "
-            "< 2^32 moduli"
+            "prove_batch currently supports < 2^32 moduli"
         )
+    ncols = getattr(air0, "num_columns", 1)
     B = len(airs)
     p = cfg.modulus
     M = cfg.eval_domain_size
@@ -191,11 +210,16 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
     offsets = [s * b for s in air0.shifts]
     max_off = max(offsets)
 
-    traces = jnp.stack([a.build_trace(cfg) for a in airs])
+    traces = jnp.stack([a.build_trace(cfg) for a in airs])  # (B[, C], T)
     publics = [a.publics(tr) for a, tr in zip(airs, traces)]
     if isinstance(air0, AirSpec):
         pub_order = [bd.public for bd in air0.boundaries]
         pub_rows = [[pb[k] % p for k in pub_order] for pb in publics]
+    elif ncols > 1:  # FibMulAIR composer order: (a0, b0, b_last)
+        pub_rows = [
+            [pb["input"] % p, pb["b0"] % p, pb["output"] % p]
+            for pb in publics
+        ]
     else:
         pub_rows = [
             [list(pb.values())[0] % p, list(pb.values())[1] % p]
@@ -260,23 +284,33 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
         from stark_tpu.fri.commit import (
             collect_query_arrays,
             emit_plan,
+            open_layout,
             plan_fri_query,
         )
         from stark_tpu.utils.gather import BatchGather
 
         ch.mark_phase("queries")
+        # one gather-row array per trace column; a "vrow" plan entry
+        # emits the row message (all C values, 8-byte BE each) — for
+        # C == 1 byte-identical to a single value send
+        if ncols > 1:
+            cols = tuple(open_layout(f_evals[i, c]) for c in range(ncols))
+        else:
+            cols = (open_layout(f_evals[i]),)
+        t_lv = [lv[i] for lv in t_levels[:-1]]
         arrays, slots, open_layers, axes = collect_query_arrays(
             fri_layers, fri_trees,
-            extra_arrays=(f_evals[i], *[lv[i] for lv in t_levels[:-1]]),
+            extra_arrays=(*cols, *t_lv),
         )
         for _ in range(cfg.num_queries):
             idx = ch.receive_random_int(0, M - max_off - 1, True)
             bg = BatchGather(arrays, axes=axes)
             plan = []
             for off in offsets:
-                plan.append(("v", bg.want(slots[id(arrays[0])], idx + off)))
+                plan.append(("vrow", [
+                    bg.want(slots[id(c_)], idx + off) for c_ in cols]))
                 plan.append(
-                    ("p", [bg.want(slots[id(arrays[1 + li])], row)
+                    ("p", [bg.want(slots[id(t_lv[li])], row)
                            for li, row in trace_tree.path_rows(idx + off)])
                 )
             plan += plan_fri_query(bg, slots, idx, open_layers, fri_trees)

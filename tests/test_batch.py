@@ -29,6 +29,31 @@ def test_mimc_batch_matches_sequential():
         assert verify(pr)
 
 
+def test_fibmul_batch_matches_sequential():
+    """Multi-column (C=2) batch: the round-3 verdict's item 6 — batch was
+    single-column only (old batch.py:182-183)."""
+    from stark_tpu.stark import FibMulAIR
+
+    bs = [2718281, 1234567]
+    batch = prove_batch(CFG, [FibMulAIR(b0=b) for b in bs])
+    for b, pr in zip(bs, batch):
+        solo = prove(CFG, air=FibMulAIR(b0=b))
+        assert pr.proof == solo.proof
+        assert verify(pr)
+
+
+def test_tribmul_spec_batch_matches_sequential():
+    """Three-column declarative spec through the same batched pipeline."""
+    from stark_tpu.stark.families import TRIBMUL
+
+    bs = [2, 5]
+    batch = prove_batch(CFG, [TRIBMUL(b0=b) for b in bs])
+    for b, pr in zip(bs, batch):
+        solo = prove(CFG, air=TRIBMUL(b0=b))
+        assert pr.proof == solo.proof
+        assert verify(pr)
+
+
 def test_empty_batch():
     assert prove_batch(CFG, []) == []
 
