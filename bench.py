@@ -267,6 +267,13 @@ def main():
 
     log_deg = 12 if args.quick else 18
     blowup = 8
+    t0 = time.perf_counter()
+    from stark_tpu.utils.prewarm import prewarm_fri
+
+    # prewarm FIRST, covering the whole path (LDE NTT + ladder + channel
+    # jits in one parallel pool) — r3 paid coset_evaluate's compile
+    # serially before the ladder prewarm started
+    prewarm_fri(P, blowup << log_deg, log_deg, 5, lde_deg=log_deg)
     coeffs = dev_rand(1 << log_deg, 5)
     cw = coset_evaluate(coeffs, P, blowup << log_deg, 5)
     cw.block_until_ready()
@@ -277,10 +284,6 @@ def main():
         decommit_fri(16, (blowup << log_deg) - 1, pr.fri_layers, pr.fri_merkles, ch)
         return ch
 
-    t0 = time.perf_counter()
-    from stark_tpu.utils.prewarm import prewarm_fri
-
-    prewarm_fri(P, blowup << log_deg, log_deg, 5)
     fri_run()
     log(f"FRI 2^{log_deg} first (compiles): {time.perf_counter()-t0:.1f} s")
     t_fri, t_fri_med, t_fri_spread = robust_wall(fri_run, reps=7, warmup=1)
@@ -399,8 +402,35 @@ def main():
         log(f"STARK prove 2^20 rows (warm): {t_pv*1e3:.0f} ms min "
             f"(median {t_pv_med*1e3:.0f}; verified)")
 
+    # -- virtual-mesh scaling table (model vs measured side by side) ------
+    # measured by benches/probe_scaling.py on the 8-virtual-device CPU
+    # mesh (collective-path trend/regression coverage; byte-identity
+    # tests cannot see a slow lowering) — carried into every BENCH
+    # artifact when the probe artifact exists
+    scaling_path = "benches/scaling.json"
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            sc = json.load(fh)
+        results["scaling_virtual_mesh"] = {
+            "note": sc.get("note"),
+            "measured": sc.get("measured"),
+            "model_efficiency": [
+                {"devices": r["devices"],
+                 "efficiency": round(r["efficiency"], 3)}
+                for r in sc.get("model", {}).get("rows", [])],
+        }
+        for row in sc.get("measured", []):
+            log(f"  scaling (virtual mesh) devices={row['devices']}: "
+                f"{row['warm_min_ms']:.0f} ms min, collectives "
+                f"{row.get('collectives_ntt')}")
+
     os.makedirs("benches", exist_ok=True)
-    with open("benches/latest.json", "w") as fh:
+    # quick/CPU runs must never clobber the TPU record (latest.json feeds
+    # the README generator and the regression baseline)
+    latest_path = ("benches/latest_quick.json"
+                   if args.quick or args.cpu or platform_guard == "cpu"
+                   else "benches/latest.json")
+    with open(latest_path, "w") as fh:
         json.dump(results, fh, indent=2)
 
     # -- regression gate (SURVEY §4: benchmarks double as regression

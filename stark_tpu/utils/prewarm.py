@@ -40,9 +40,15 @@ def _enabled() -> bool:
         return False
 
 
+# per-job compile walls of the last prewarm run, for cold-start probes
+# ({name: seconds}; parallel walls — the slowest job bounds the phase)
+LAST_JOB_WALLS: dict = {}
+
+
 def _run_jobs(jobs) -> None:
     """Execute compile jobs from a thread pool; failures only warn (the
     prove would compile on demand anyway)."""
+    import time
     from concurrent.futures import ThreadPoolExecutor
 
     from stark_tpu.utils.logging import get_logger
@@ -51,10 +57,12 @@ def _run_jobs(jobs) -> None:
 
     def safe(job):
         name, fn = job
+        t0 = time.perf_counter()
         try:
             fn()
         except Exception as e:  # pragma: no cover - diagnostics only
             log.warning("prewarm job %s failed: %s", name, e)
+        LAST_JOB_WALLS[name] = time.perf_counter() - t0
 
     with ThreadPoolExecutor(max_workers=16) as ex:
         list(ex.map(safe, jobs))
@@ -116,19 +124,53 @@ def _tree_jobs(n: int, width: int, ncols: int, pallas_ok: bool):
 
 
 def prewarm_fri(p: int, n: int, num_folds: int, offset: int,
-                pallas_ok: bool = True) -> None:
-    """Pre-compile a bare FRI ladder (bench.py's fri_commit path)."""
+                pallas_ok: bool = True, lde_deg: int | None = None) -> None:
+    """Pre-compile a bare FRI ladder (bench.py's fri_commit path).
+
+    With `lde_deg`, also compiles the codeword-producing LDE programs
+    (coset_evaluate's scale-pad + size-n NTT from a 2^lde_deg coefficient
+    vector) and the device-channel jits — the full standalone-FRI bench
+    path, so the bench's "first (compiles)" number is the PARALLEL
+    compile wall (r3 paid the LDE and channel compiles serially before
+    prewarm even started)."""
     if not _enabled():
         return
-    key = ("fri", p, n, num_folds, int(offset) % p, pallas_ok)
+    key = ("fri", p, n, num_folds, int(offset) % p, pallas_ok, lde_deg)
     with _lock:
         if key in _done:
             return
         _done.add(key)
     from stark_tpu.fields.fp import Fp
 
-    _run_jobs(_ladder_jobs(p, n, num_folds, offset, Fp.get(p).width,
-                           pallas_ok))
+    width = Fp.get(p).width
+    jobs = _ladder_jobs(p, n, num_folds, offset, width, pallas_ok)
+    if lde_deg is not None:
+        from stark_tpu.ntt.ntt import _scale_pad_jit, get_plan
+
+        d = 1 << lde_deg
+        # plans build host twiddles — instantiate before the pool
+        plan_f = get_plan(p, n, False)
+        scale = _scale_pad_jit(p, d, n, int(offset) % p)
+        jobs += [
+            ("lde-scale-pad", lambda: scale(_zeros(_eshape(d, width)))),
+            ("lde-ntt", lambda: plan_f(_zeros(_eshape(n, width)))),
+        ]
+
+        def channel_jobs():
+            import jax.numpy as jnp
+
+            from stark_tpu.channel.device_channel import (
+                jit_absorb, jit_absorb_initial, jit_absorb_value, jit_draw)
+
+            dd = _zeros((8,))
+            jit_absorb_initial()(dd)
+            jit_absorb()(dd, dd)
+            jit_draw(p)(dd)
+            jit_absorb_value()(dd, jnp.zeros((), jnp.uint32),
+                               jnp.zeros((), jnp.uint32))
+
+        jobs.append(("device-channel", channel_jobs))
+    _run_jobs(jobs)
 
 
 def prewarm_prove(cfg, air=None) -> None:
