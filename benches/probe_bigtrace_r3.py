@@ -40,7 +40,12 @@ log(f"devices: {jax.devices()}")
 for log2_tr in (18, 20, 22, 24):
     cfg = ProverConfig(log2_trace=log2_tr, blowup=4, num_queries=16)
     t0 = time.perf_counter()
-    pf = prove(cfg)
+    try:
+        pf = prove(cfg)
+    except Exception as e:  # publish the sizes that DID run
+        log(f"2^{log2_tr} rows FAILED after {time.perf_counter()-t0:.1f} s: "
+            f"{type(e).__name__}: {str(e)[:200]}")
+        continue
     cold = time.perf_counter() - t0
     log(f"2^{log2_tr} rows cold (compiles): {cold:.1f} s")
     import statistics
