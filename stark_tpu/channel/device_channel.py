@@ -271,13 +271,15 @@ class DeviceFS:
     def finalize(self, channel, extras=()) -> list:
         """Replay the log into `channel` (which must be at this FS's
         construction state); returns the fetched `extras` arrays."""
+        from stark_tpu.utils.packfetch import device_get_packed
+
         payloads = self.payloads() + list(extras)
         if self._mesh is not None:
             # multi-process: payloads may span non-addressable devices;
             # replicate the (tiny) values so every host can fetch them
             rep = _replicate_fn(self._mesh)
             payloads = [rep(pl) for pl in payloads]
-        fetched = jax.device_get(payloads)
+        fetched = device_get_packed(payloads)
         n = len(payloads) - len(extras)
         self.replay_fetched(channel, fetched[:n])
         return fetched[n:]

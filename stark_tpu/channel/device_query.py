@@ -383,7 +383,13 @@ class DeviceQueryPlan:
             mode = self._mode(probe)
         fn = self._jit_cache.get(mode)
         if fn is None:
-            fn = jax.jit(functools.partial(self._run, mode=mode))
+            from stark_tpu.utils.progcache import cached_jit
+
+            fn = cached_jit(
+                functools.partial(self._run, mode=mode), "query-phase",
+                (self.rng, self.num_queries, self.offsets, self.trace_len,
+                 self.fri_lengths, self.elem_width, self.num_columns,
+                 self.trace_prev, self.fri_prev, mode))
             self._jit_cache[mode] = fn
         final_state, (idxs, outs) = fn(
             state, f_evals, tuple(trace_levels),
@@ -402,9 +408,11 @@ class DeviceQueryPlan:
         state = jnp.asarray(
             np.frombuffer(bytes.fromhex(channel.state), dtype=">u4").astype(
                 np.uint32))
+        from stark_tpu.utils.packfetch import device_get_packed
+
         dev = self.run_device(state, f_evals, trace_levels, fri_layers,
                               fri_levels, mode)
-        final_h, idxs_h, outs_h = jax.device_get(dev)
+        final_h, idxs_h, outs_h = device_get_packed(dev)
         self.replay(channel, final_h, idxs_h, outs_h)
 
     def replay(self, channel, final_h, idxs_h, outs_h):

@@ -100,7 +100,9 @@ def _layer_jit(p: int, m: int, pallas: bool = False, interpret: bool = False):
         state = absorb_digest(state, levels[-1][0])
         return (folded, *levels, state, beta)
 
-    return jax.jit(step)
+    from stark_tpu.utils.progcache import cached_jit
+
+    return cached_jit(step, "fri-layer", (p, m, pallas, interpret))
 
 
 @functools.lru_cache(maxsize=None)

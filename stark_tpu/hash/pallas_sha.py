@@ -302,14 +302,19 @@ def _node_call_halves(m: int, interpret: bool):
         )(*args)
         return planes.reshape(8, m)
 
-    return jax.jit(run)
+    from stark_tpu.utils.progcache import cached_jit
+
+    return cached_jit(run, "sha-node-halves", (m, interpret))
 
 
 @functools.lru_cache(maxsize=None)
 def _leaf_jit(n: int, interpret: bool, wide: bool):
     leaf = _leaf_call(n, interpret, wide)
     rev = _bitrev_vals_jit(n, wide)
-    return jax.jit(lambda values: leaf(rev(values)))
+    from stark_tpu.utils.progcache import cached_jit
+
+    return cached_jit(lambda values: leaf(rev(values)), "sha-leaves",
+                      (n, interpret, wide))
 
 
 # Smallest level a Pallas node kernel handles: Mosaic requires the block's
@@ -332,7 +337,9 @@ def _tail_jit(size: int):
         aos = jnp.take(planes.T, rev, axis=0)  # natural order, (size, 8)
         return tuple(_tail_scan(aos, k))
 
-    return jax.jit(run)
+    from stark_tpu.utils.progcache import cached_jit
+
+    return cached_jit(run, "sha-tail", (size,))
 
 
 def bitrev_prev_depth(n: int) -> int:

@@ -153,7 +153,9 @@ def build_levels_fn(n: int, wide: bool = False):
 
 @functools.lru_cache(maxsize=None)
 def _build_jit(n: int, wide: bool = False):
-    return jax.jit(build_levels_fn(n, wide))
+    from stark_tpu.utils.progcache import cached_jit
+
+    return cached_jit(build_levels_fn(n, wide), "tree-build", (n, wide))
 
 
 @functools.lru_cache(maxsize=None)
@@ -168,7 +170,9 @@ def _build_columns_jit(c: int, n: int, wide: bool = False):
         level = sha256_row_leaves(cols)
         return tuple([level] + levels_above(level, n))
 
-    return jax.jit(build)
+    from stark_tpu.utils.progcache import cached_jit
+
+    return cached_jit(build, "tree-build-cols", (c, n, wide))
 
 
 class MerkleTree:

@@ -137,7 +137,10 @@ class FourStepPlan:
         self._tws2 = _stage_twiddles(p, self.n2, pow(w, self.n1, p))
         self._table = _twiddle_table(p, self.n1, self.n2, w)
         self._ninv_mont = f.const_mont(pow(n, p - 2, p))
-        self._jit = jax.jit(self._transform)
+        from stark_tpu.utils.progcache import cached_jit
+
+        self._jit = cached_jit(self._transform, "ntt-fourstep",
+                               (p, n, inverse))
 
     def _core(self, xm, table, tws1, tws2):
         """Montgomery-domain four-step on (..., n)."""

@@ -200,7 +200,10 @@ class NTTPlan:
         # round-trip latency on the tunneled TPU.
         self._twiddles = _stage_twiddles(p, n, w)
         self._ninv_mont = self.fp.const_mont(pow(n, p - 2, p))  # mont(n^-1)
-        self._jit = jax.jit(self._transform)
+        from stark_tpu.utils.progcache import cached_jit
+
+        self._jit = cached_jit(self._transform, "ntt-stockham",
+                               (p, n, inverse))
 
     # -- core -------------------------------------------------------------
     def _stages(self, xm, twiddles):
@@ -247,7 +250,9 @@ def _scale_pad_jit(p: int, n: int, big_n: int, offset: int):
             ..., :n
         ].set(shifted)
 
-    return jax.jit(run)
+    from stark_tpu.utils.progcache import cached_jit
+
+    return cached_jit(run, "scale-pad", (p, n, big_n, offset))
 
 
 def _lde_steps(p: int, n: int, big_n: int, offset: int):

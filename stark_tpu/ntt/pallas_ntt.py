@@ -179,7 +179,10 @@ class _PallasNTT:
             fp.host_powers(w, self.n1), self.n2, mont=True))
         self.ninv_mont = pow(n, p - 2, p) * fp.r % p  # int -> kernel literal
         self.interpret = interpret
-        self._jit = jax.jit(self._run)
+        from stark_tpu.utils.progcache import cached_jit
+
+        self._jit = cached_jit(self._run, "ntt-pallas",
+                               (p, n, inverse, interpret))
 
     # -- kernels ----------------------------------------------------------
     def _step1_kernel(self, x_ref, t_ref, tws_ref, o_ref):

@@ -216,7 +216,12 @@ class _FibContext(_BaseContext):
         # tables are jit ARGUMENTS, never closure captures — captured
         # device arrays are inlined into the HLO as literals, and at
         # 2^25-point domains that is hundreds of MB of serialized program
-        self._jit = jax.jit(self._compose_tables)
+        from stark_tpu.utils.progcache import cached_jit
+
+        self._jit = cached_jit(
+            self._compose_tables, "compose",
+            (type(self).__name__, cfg.modulus, cfg.log2_trace,
+             cfg.blowup, getattr(self, '_spec_key', None)))
 
     def _compose_tables(self, lde, alphas, a0, a_last, inv_b0, inv_b1,
                         trans_mult):
@@ -338,7 +343,14 @@ class _MimcContext(_BaseContext):
         self.trans_mult = self.zerofier_inv_excluding(
             (pow(g, N - 2, p), pow(g, N - 1, p))
         )
-        self._jit = jax.jit(self._compose_tables)
+        # k is baked into the traced program (self._bc(self.k) literal)
+        self._spec_key = ("k", int(k))
+        from stark_tpu.utils.progcache import cached_jit
+
+        self._jit = cached_jit(
+            self._compose_tables, "compose",
+            (type(self).__name__, cfg.modulus, cfg.log2_trace,
+             cfg.blowup, getattr(self, '_spec_key', None)))
 
     def _compose_tables(self, lde, alphas, x0, x_out, inv_b0, inv_b1,
                         trans_mult):
@@ -480,7 +492,12 @@ class _FibMulContext(_BaseContext):
         self.trans_mult = self.zerofier_inv_excluding(
             (pow(g, N - 2, p), pow(g, N - 1, p))
         )
-        self._jit = jax.jit(self._compose_tables)
+        from stark_tpu.utils.progcache import cached_jit
+
+        self._jit = cached_jit(
+            self._compose_tables, "compose",
+            (type(self).__name__, cfg.modulus, cfg.log2_trace,
+             cfg.blowup, getattr(self, '_spec_key', None)))
 
     def _compose_tables(self, lde, alphas, a0, b0, b_last, inv_b0, inv_b1,
                         trans_mult):

@@ -492,7 +492,23 @@ class _SpecContext(_BaseContext):
             small.append(self.fp.array(evals))  # (bl,) or (2, bl)
             self._periodic_reps.append(self.M // bl)
         self.periodic_small = tuple(small)
-        self._jit = jax.jit(self._compose_tables)
+        from stark_tpu.utils.progcache import cached_jit, fn_digest
+
+        # the compose program's identity: everything the traced HLO can
+        # depend on beyond (cfg, class) — spec structure AND the actual
+        # constraint bytecode (specs are user code; a name is not enough)
+        self._spec_key = (
+            spec.name, spec.num_columns, tuple(spec.shifts),
+            tuple((b.column, b.row, b.public) for b in spec.boundaries),
+            tuple(sorted(spec.params_spec.items())),
+            tuple(sorted(spec.periodic.items())),
+            fn_digest(spec.step), fn_digest(spec.transitions),
+        )
+
+        self._jit = cached_jit(
+            self._compose_tables, "compose",
+            (type(self).__name__, cfg.modulus, cfg.log2_trace,
+             cfg.blowup, getattr(self, '_spec_key', None)))
 
     def _compose_tables(self, lde, alphas, bvals, pvals, binvs, trans_mult,
                         periodic_small):

@@ -458,7 +458,11 @@ def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,
             # sharded inputs keep the pure-XLA chain (mode 0): the Pallas
             # SHA kernel does not partition under GSPMD
             mode=0 if mesh is not None else None)
-        # THE one device->host transfer of the whole prove
+        # THE one device->host transfer of the whole prove — packed into
+        # a single flat buffer (per-leaf fetches each pay a tunnel round
+        # trip; ~100 leaves dominated the warm 2^14 wall, probe_fetch_r4)
+        from stark_tpu.utils.packfetch import device_get_packed
+
         fetch = (fs.payloads(), fri_proof.fri_layers[-1], dev)
         if mesh is not None:
             # multi-process meshes: replicate the (tiny) outputs so every
@@ -466,7 +470,7 @@ def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,
             from stark_tpu.channel.device_channel import _replicate_fn
 
             fetch = _jax.tree.map(_replicate_fn(mesh), fetch)
-        payload_h, final_layer_h, dev_h = _jax.device_get(fetch)
+        payload_h, final_layer_h, dev_h = device_get_packed(fetch)
 
     # host replay: canonical transcript bytes (roots, challenge checks),
     # the strict final-constant check + send, then the query openings

@@ -170,7 +170,52 @@ def prewarm_fri(p: int, n: int, num_folds: int, offset: int,
                                jnp.zeros((), jnp.uint32))
 
         jobs.append(("device-channel", channel_jobs))
+    # the INITIAL (unfolded) layer's tree — fri_commit builds it before
+    # any fold; at n >= 2^17 on TPU that is the standalone Pallas build,
+    # whose level kernels the ladder jobs never touch (probe_cold_r4:
+    # fri_run_s stayed ~117 s after a complete prewarm)
+    def initial_tree_job():
+        from stark_tpu.merkle.tree import MerkleTree
+
+        MerkleTree(_zeros(_eshape(n, width)))
+
+    jobs.append(("fri-initial-tree", initial_tree_job))
     _run_jobs(jobs)
+
+    # stage 2 (needs the built shapes): the decommit_fri query program
+    def query_job():
+        from stark_tpu.channel import device_query as _dq
+        from stark_tpu.fri.commit import _inv_domain, _layer_jit
+        from stark_tpu.merkle.tree import (MerkleTree, _use_pallas_build,
+                                           bitrev_layouts)
+
+        lengths = tuple(n >> k for k in range(num_folds + 1))
+        rng = n  # decommit_fri draws over [0, max_index], max_index = n-1
+        if not _dq.supported(rng, None, lengths, elem_width=width):
+            return
+        layers = [_zeros(_eshape(n, width))]
+        trees = [MerkleTree(layers[0])]
+        size, off = n, int(offset) % p
+        for _ in range(num_folds):
+            use_pallas = pallas_ok and _use_pallas_build(size // 2)
+            out = _layer_jit(p, size, use_pallas)(
+                _zeros((8,)), _zeros(_eshape(size, width)),
+                _inv_domain(p, size, off))
+            folded, levels = out[0], out[1:-2]
+            trees.append(MerkleTree(
+                None, device_levels=tuple(levels),
+                layouts=bitrev_layouts(size // 2) if use_pallas else None))
+            layers.append(folded)
+            size //= 2
+            off = off * off % p
+        _dq.get_plan(
+            rng, 16, (), None, lengths, elem_width=width,
+            fri_prev=tuple(t.prev_depth for t in trees),
+        ).run_device(_zeros((8,)), None, (), layers,
+                     [t.levels[:-1] for t in trees])
+
+    if lde_deg is not None:
+        _run_jobs([("fri-query-phase", query_job)])
 
 
 def prewarm_prove(cfg, air=None) -> None:
