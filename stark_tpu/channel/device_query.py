@@ -173,7 +173,8 @@ class DeviceQueryPlan:
     def __init__(self, rng: int, num_queries: int, offsets: tuple,
                  trace_len: int | None, fri_lengths: tuple,
                  elem_width: int = 1, num_columns: int = 1,
-                 trace_prev: int = 0, fri_prev: tuple = ()):
+                 trace_prev: int = 0, fri_prev: tuple = (),
+                 trace_prune: int = 0, fri_prune: tuple = ()):
         if rng <= 0 or rng >= 1 << 32:
             raise ValueError(f"draw range {rng} not in [1, 2^32)")
         if elem_width not in (1, 2):
@@ -196,6 +197,13 @@ class DeviceQueryPlan:
         # pure-AoS trees; fri_prev is per FRI tree (empty -> all AoS)
         self.trace_prev = int(trace_prev)
         self.fri_prev = tuple(int(x) for x in fri_prev) if fri_prev else (
+            (0,) * len(self.fri_lengths))
+        # pruned-storage depths (merkle.tree.prune_depth_for): the first
+        # `prune` levels of a tree are NOT stored; their path siblings
+        # are recomputed here from the leaf VALUES (aligned 2^prune
+        # block hashed up inside the scan, _subtree_sibs)
+        self.trace_prune = int(trace_prune)
+        self.fri_prune = tuple(int(x) for x in fri_prune) if fri_prune else (
             (0,) * len(self.fri_lengths))
         self.script = build_script(len(self.offsets), self.fri_lengths)
         self._weights = jnp.asarray(_mod_weights(rng))
@@ -234,31 +242,73 @@ class DeviceQueryPlan:
         return _log2(self.fri_lengths[src[1]])
 
     # -- device program ---------------------------------------------------
-    def _gather_path(self, flat_levels, j, h: int, prev: int, n: int):
+    def _subtree_sibs(self, values, j, prune: int, columns: bool):
+        """Path siblings for the `prune` UNSTORED levels, recomputed from
+        the leaf values: dynamic-slice the aligned 2^prune-leaf block at
+        (j >> prune) << prune, hash it up level by level, picking the
+        in-block sibling at each.  Returns a list of `prune` (8,) digest
+        rows (leaf level first).  `values` layouts mirror the tree
+        builds: (n,) u32 / (2, n) limb planes / (C, n) / (C, 2, n)."""
+        from stark_tpu.hash.sha256_jax import (sha256_pairs,
+                                               sha256_row_leaves,
+                                               sha256_u64_leaves)
+
+        blk = 1 << prune
+        base = (j >> _U32(prune)) << _U32(prune)
+        zero = jnp.zeros((), _U32)
+        wide = self.elem_width == 2
+        if columns and self.num_columns > 1:
+            if wide:  # (C, 2, n)
+                v = jax.lax.dynamic_slice(
+                    values, (zero, zero, base), (self.num_columns, 2, blk))
+            else:  # (C, n)
+                v = jax.lax.dynamic_slice(
+                    values, (zero, base), (self.num_columns, blk))
+            leafs = sha256_row_leaves(v, wide=wide)  # (blk, 8)
+        elif wide:  # (2, n) limb planes
+            v = jax.lax.dynamic_slice(values, (zero, base), (2, blk))
+            leafs = sha256_u64_leaves(v[0], v[1])
+        else:  # (n,)
+            v = jax.lax.dynamic_slice(values, (base,), (blk,))
+            leafs = sha256_u64_leaves(jnp.zeros_like(v), v)
+        joff = j & _U32(blk - 1)
+        rows, cur = [], leafs
+        for li in range(prune):
+            r = (joff >> _U32(li)) ^ _U32(1)
+            rows.append(jnp.take(cur, r, axis=0))
+            cur = sha256_pairs(cur[0::2], cur[1::2])
+        return rows
+
+    def _gather_path(self, flat_levels, j, h: int, prev: int, n: int,
+                     prune: int = 0, values=None, columns: bool = False):
         """Sibling digests for leaf j of a power-of-two tree: (h, 8).
 
-        `flat_levels` are the digest levels FLATTENED to 1-D (see _run):
-        the first `prev` levels are bitrev-plane (8, m) storage
-        (merkle.tree layouts) — sibling node v = (j >> li) ^ 1 lives at
-        flat position w*m + rev_{h-li}(v) for word w; the rest are
-        (m, 8) AoS rows at node*8 + w.  Gathering 2-D levels directly
-        makes XLA copy each whole level into a transposed T(8,128) temp
-        inside the query scan — a 16x pad of the 8-word axis that OOMed
-        the 2^22 prove at 47.8 GB (probe_bigtrace r4); 1-D gathers give
-        the compiler no layout choice."""
+        `flat_levels` are the STORED digest levels FLATTENED to 1-D (see
+        _run) — levels `prune` .. h-1 of the tree; the first `prune`
+        levels' siblings are recomputed from `values` (_subtree_sibs).
+        Of the stored levels, the first `prev` are bitrev-plane (8, m)
+        storage (merkle.tree layouts) — sibling node v = (j >> li) ^ 1
+        lives at flat position w*m + rev_{h-li}(v) for word w; the rest
+        are (m, 8) AoS rows at node*8 + w.  Gathering 2-D levels
+        directly makes XLA copy each whole level into a transposed
+        T(8,128) temp inside the query scan — a 16x pad of the 8-word
+        axis that OOMed the 2^22 prove at 47.8 GB (probe_bigtrace r4);
+        1-D gathers give the compiler no layout choice."""
         if h == 0:
             return jnp.zeros((0, 8), _U32)
-        rows = []
+        rows = (self._subtree_sibs(values, j, prune, columns)
+                if prune else [])
         w8 = jnp.arange(8, dtype=_U32)
-        for li in range(h):
+        for li in range(prune, h):
             m = n >> li  # nodes at level li
             node = (j >> _U32(li)) ^ _U32(1)
-            if li < prev:
+            si = li - prune  # stored-level index
+            if si < prev:
                 srow = _rev_u32(node) >> _U32(32 - (h - li))
-                rows.append(flat_levels[li][srow + _U32(m) * w8])
+                rows.append(flat_levels[si][srow + _U32(m) * w8])
             else:
                 rows.append(jax.lax.dynamic_slice(
-                    flat_levels[li], (node * _U32(8),), (8,)))
+                    flat_levels[si], (node * _U32(8),), (8,)))
         return jnp.stack(rows)
 
     def _run(self, state, f_evals, trace_levels, fri_layers, fri_levels,
@@ -326,7 +376,8 @@ class DeviceQueryPlan:
                         h = _log2(self.trace_len)
                         digs = self._gather_path(
                             trace_flat, j, h, self.trace_prev,
-                            self.trace_len)
+                            self.trace_len, self.trace_prune, f_evals,
+                            columns=True)
                     else:
                         l, which = src[1], src[2]
                         h = _log2(self.fri_lengths[l])
@@ -335,7 +386,9 @@ class DeviceQueryPlan:
                             j = j ^ _U32(half[l])
                         digs = self._gather_path(fri_flat[l], j, h,
                                                  self.fri_prev[l],
-                                                 self.fri_lengths[l])
+                                                 self.fri_lengths[l],
+                                                 self.fri_prune[l],
+                                                 fri_layers[l])
                     outs.append(digs)
                     if h:
                         rows.append(_hex_rows(digs))
@@ -389,7 +442,8 @@ class DeviceQueryPlan:
                 functools.partial(self._run, mode=mode), "query-phase",
                 (self.rng, self.num_queries, self.offsets, self.trace_len,
                  self.fri_lengths, self.elem_width, self.num_columns,
-                 self.trace_prev, self.fri_prev, mode))
+                 self.trace_prev, self.fri_prev, self.trace_prune,
+                 self.fri_prune, mode))
             self._jit_cache[mode] = fn
         final_state, (idxs, outs) = fn(
             state, f_evals, tuple(trace_levels),
@@ -465,9 +519,11 @@ class DeviceQueryPlan:
 def get_plan(rng: int, num_queries: int, offsets: tuple,
              trace_len: int | None, fri_lengths: tuple,
              elem_width: int = 1, num_columns: int = 1,
-             trace_prev: int = 0, fri_prev: tuple = ()) -> DeviceQueryPlan:
+             trace_prev: int = 0, fri_prev: tuple = (),
+             trace_prune: int = 0, fri_prune: tuple = ()) -> DeviceQueryPlan:
     return DeviceQueryPlan(rng, num_queries, offsets, trace_len, fri_lengths,
-                           elem_width, num_columns, trace_prev, fri_prev)
+                           elem_width, num_columns, trace_prev, fri_prev,
+                           trace_prune, fri_prune)
 
 
 def supported(rng: int, trace_len: int | None, fri_lengths,

@@ -65,7 +65,8 @@ def _fold_jit(p: int, m: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _layer_jit(p: int, m: int, pallas: bool = False, interpret: bool = False):
+def _layer_jit(p: int, m: int, pallas: bool = False, interpret: bool = False,
+               prune: int = 0):
     """One WHOLE FRI layer as a single program: draw beta from the device
     Fiat-Shamir state, fold the size-m evaluations, build the size-m/2
     Merkle tree, absorb its root.  (state, evals, inv_dom) ->
@@ -89,9 +90,10 @@ def _layer_jit(p: int, m: int, pallas: bool = False, interpret: bool = False):
     if pallas:
         from stark_tpu.hash.pallas_sha import build_tree_bitrev
 
-        build = functools.partial(build_tree_bitrev, interpret=interpret)
+        build = functools.partial(build_tree_bitrev, interpret=interpret,
+                                  prune=prune)
     else:
-        build = build_levels_fn(m // 2, wide=f.width > 1)
+        build = build_levels_fn(m // 2, wide=f.width > 1, prune=prune)
 
     def step(state, evals, inv_dom):
         beta, state = draw_field_element(state, p)
@@ -102,7 +104,7 @@ def _layer_jit(p: int, m: int, pallas: bool = False, interpret: bool = False):
 
     from stark_tpu.utils.progcache import cached_jit
 
-    return cached_jit(step, "fri-layer", (p, m, pallas, interpret))
+    return cached_jit(step, "fri-layer", (p, m, pallas, interpret, prune))
 
 
 @functools.lru_cache(maxsize=None)
@@ -182,7 +184,10 @@ def fri_commit(
             from stark_tpu.dist.merkle import dist_merkle_tree
 
             return dist_merkle_tree(vals, mesh)
-        return MerkleTree(vals)
+        from stark_tpu.merkle.tree import prune_depth_for as _pdf
+
+        return MerkleTree(
+            vals, prune=_pdf(int(vals.shape[-1])) if defer else 0)
 
     from stark_tpu.channel.device_channel import DeviceFS
 
@@ -218,15 +223,21 @@ def fri_commit(
     # whose tree rides the XLA build is now fused (one program + one
     # dispatch per layer).  Pallas-tree-sized layers keep the split path
     # (the Mosaic tree kernels don't nest in the fused program).
+    from stark_tpu.merkle.tree import prune_depth_for
+
     size, off = n, offset
     for _ in range(num_folds):
         inv_dom = _inv_domain(p, size, off)
         if mesh is None:
             # fused draw+fold+tree+absorb: one program, one dispatch (the
             # Pallas bitrev tree nests in the fused program when the
-            # layer is big enough)
+            # layer is big enough).  Pruned digest storage only on the
+            # deferred/single-fetch path — the per-query host fallbacks
+            # need every level present.
+            prune = prune_depth_for(size // 2) if defer else 0
             use_pallas = _use_pallas_build(size // 2, evals)
-            out = _layer_jit(p, size, use_pallas)(fs.state, evals, inv_dom)
+            out = _layer_jit(p, size, use_pallas, prune=prune)(
+                fs.state, evals, inv_dom)
             evals, levels, new_state, beta = out[0], out[1:-2], out[-2], out[-1]
             fs.state = new_state
             fs.log.append(("draw", beta))
@@ -235,7 +246,9 @@ def fri_commit(
 
             tree = MerkleTree(
                 None, device_levels=tuple(levels),
-                layouts=bitrev_layouts(size // 2) if use_pallas else None)
+                layouts=(bitrev_layouts(size // 2)[prune:] if use_pallas
+                         else None),
+                prune=prune)
         else:  # sharded: per-step dist trees, split dispatches
             beta = fs.draw()  # device scalar, feeds the fold directly
             evals = _fold_jit(p, size)(evals, beta, inv_dom)

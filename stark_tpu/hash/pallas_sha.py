@@ -353,7 +353,7 @@ def bitrev_prev_depth(n: int) -> int:
     return depth
 
 
-def build_tree_bitrev(values, interpret: bool = False):
+def build_tree_bitrev(values, interpret: bool = False, prune: int = 0):
     """All Merkle digest levels for a power-of-two leaf count.  Big levels
     come back plane-form (8, m) in BIT-REVERSED node order (layout 'prev'),
     the tail natural AoS (m, 8) — see merkle.tree.MerkleTree.layouts.
@@ -364,18 +364,27 @@ def build_tree_bitrev(values, interpret: bool = False):
     Dispatched as one cached jit per LEVEL size — a tree of size n/2
     reuses every kernel a size-n tree already compiled except its own
     leaf kernel, so a FRI ladder pays each Mosaic compile once.
+
+    With `prune`, the first `prune` levels are built transiently and
+    dropped (pruned storage, merkle.tree.prune_depth_for): each big
+    level's buffer frees as soon as its parent level is built, so the
+    peak live set is two adjacent levels instead of the whole tree.
     """
     wide = values.ndim == 2
     n = int(values.shape[-1])
     if n & (n - 1) or n < LANES:
         raise ValueError("bitrev tree build needs a power-of-two n >= 128")
     cur = _leaf_jit(n, interpret, wide)(values)
-    levels = [cur]
+    levels = [] if prune > 0 else [cur]
     size = n
+    depth = 1
     while size // 2 >= _PALLAS_TAIL:
         size //= 2
         cur = _node_call_halves(size, interpret)(cur)
-        levels.append(cur)
+        if depth >= prune:
+            levels.append(cur)
+        depth += 1
     if size > 1:
-        levels.extend(_tail_jit(size)(cur))
+        tail = _tail_jit(size)(cur)
+        levels.extend(tail[max(0, prune - depth):])
     return tuple(levels)

@@ -93,6 +93,28 @@ def _use_pallas_build(n: int, values=None) -> bool:
 # cliff, VERDICT #3).  The masked waste is < 2^12 hashes per tree (~0.1 ms).
 _TAIL_SIZE = 1 << 10
 
+# -- pruned digest storage ----------------------------------------------------
+# A 2^24-row prove (LDE 2^26) stores ~12 GB of digest levels if every
+# level is retained — past the v5e's HBM (the r4 big-trace OOM).  Levels
+# with more than 2^PRUNE_KEEP_LOG nodes are therefore NOT stored on the
+# single-fetch prove path: the device query program recomputes each
+# path's missing siblings from the leaf VALUES (an aligned 2^d block
+# hashed up d levels inside the query scan, device_query._subtree_rows).
+# Transcripts are byte-identical — digests don't depend on storage.
+# Retained storage per tree is bounded by ~2 * 2^PRUNE_KEEP_LOG * 32 B
+# (64 MB at the default), whatever the leaf count.
+import os as _os
+
+PRUNE_KEEP_LOG = int(_os.environ.get("STARK_TPU_PRUNE_KEEP_LOG", "20"))
+
+
+def prune_depth_for(n: int) -> int:
+    """How many leading levels a size-n tree drops under pruned storage
+    (0 = store everything; only power-of-two trees prune)."""
+    if _os.environ.get("STARK_TPU_NO_PRUNE") or n & (n - 1):
+        return 0
+    return max(0, (n.bit_length() - 1) - PRUNE_KEEP_LOG)
+
 
 def _tail_scan(level, k: int):
     """All levels below a (2^k, 8) digest level (k <= log2(_TAIL_SIZE)),
@@ -133,12 +155,16 @@ def levels_above(level, n: int):
     return levels
 
 
-def build_levels_fn(n: int, wide: bool = False):
+def build_levels_fn(n: int, wide: bool = False, prune: int = 0):
     """The raw (traceable) tree build for a fixed leaf count: values (n,)
     uint32 (or (2, n) limb pairs for 64-bit fields, fields/fp64.py) ->
     tuple of digest levels [(n,8), (ceil(n/2),8), ..., (1,8)].  Use this
     to fuse a tree build into a larger jitted program (fri/commit.py's
-    per-layer fold+tree+absorb step); `_build_jit` is its standalone jit."""
+    per-layer fold+tree+absorb step); `_build_jit` is its standalone jit.
+
+    With `prune`, the first `prune` levels are computed but NOT returned
+    (pruned storage — XLA's buffer allocator frees them inside the jit,
+    so the program's live set is the retained tail, not 2n digests)."""
 
     def build(values):
         if wide:
@@ -146,20 +172,21 @@ def build_levels_fn(n: int, wide: bool = False):
         else:
             hi = jnp.zeros_like(values)  # field values < 2^32 -> high word 0
         level = sha256_u64_leaves(hi, values)
-        return tuple([level] + levels_above(level, n))
+        return tuple([level] + levels_above(level, n))[prune:]
 
     return build
 
 
 @functools.lru_cache(maxsize=None)
-def _build_jit(n: int, wide: bool = False):
+def _build_jit(n: int, wide: bool = False, prune: int = 0):
     from stark_tpu.utils.progcache import cached_jit
 
-    return cached_jit(build_levels_fn(n, wide), "tree-build", (n, wide))
+    return cached_jit(build_levels_fn(n, wide, prune), "tree-build",
+                      (n, wide, prune))
 
 
 @functools.lru_cache(maxsize=None)
-def _build_columns_jit(c: int, n: int, wide: bool = False):
+def _build_columns_jit(c: int, n: int, wide: bool = False, prune: int = 0):
     """Jitted multi-column tree build: (c, n) uint32 values — or
     (c, 2, n) hi/lo limb planes when `wide` — -> digest levels; leaf i =
     SHA-256(col_0[i] || ... || col_{c-1}[i] as 8-byte BE each) — see
@@ -168,11 +195,11 @@ def _build_columns_jit(c: int, n: int, wide: bool = False):
 
     def build(cols):
         level = sha256_row_leaves(cols)
-        return tuple([level] + levels_above(level, n))
+        return tuple([level] + levels_above(level, n))[prune:]
 
     from stark_tpu.utils.progcache import cached_jit
 
-    return cached_jit(build, "tree-build-cols", (c, n, wide))
+    return cached_jit(build, "tree-build-cols", (c, n, wide, prune))
 
 
 class MerkleTree:
@@ -191,7 +218,9 @@ class MerkleTree:
       storage positions, so roots/paths stay byte-identical either way.
     """
 
-    def __init__(self, values, device_levels=None, layouts=None):
+    def __init__(self, values, device_levels=None, layouts=None,
+                 prune: int = 0):
+        self.prune = int(prune)
         if device_levels is not None:
             self.levels = device_levels
             self.layouts = (tuple(layouts) if layouts is not None
@@ -204,18 +233,22 @@ class MerkleTree:
                     "MerkleTree needs a non-empty 1-D vector (or a (2, n) "
                     "limb-pair array for 64-bit fields)")
             n = int(values.shape[-1])
+            if self.prune and (n & (n - 1) or (1 << self.prune) > n):
+                raise ValueError(
+                    f"prune={self.prune} needs a power-of-two leaf count "
+                    f">= 2^prune, got {n}")
             if _use_pallas_build(n, values):
                 from stark_tpu.hash.pallas_sha import build_tree_bitrev
 
-                self.levels = build_tree_bitrev(values)
-                self.layouts = bitrev_layouts(n)
+                self.levels = build_tree_bitrev(values, prune=self.prune)
+                self.layouts = bitrev_layouts(n)[self.prune:]
             else:
-                self.levels = _build_jit(n, wide)(values)
+                self.levels = _build_jit(n, wide, self.prune)(values)
                 self.layouts = ("aos",) * len(self.levels)
         self._host_levels: list[np.ndarray] | None = None
 
     @classmethod
-    def from_columns(cls, cols) -> "MerkleTree":
+    def from_columns(cls, cols, prune: int = 0) -> "MerkleTree":
         """Commit a multi-column codeword: cols (C, n) uint32 — or
         (C, 2, n) hi/lo limb planes for 64-bit fields — leaf i = SHA-256
         of the row's concatenated 8-byte-BE column values (the layout the
@@ -227,11 +260,11 @@ class MerkleTree:
             raise ValueError("from_columns needs a (C, n) or (C, 2, n) array")
         c, n = int(cols.shape[0]), int(cols.shape[-1])
         return cls(None, device_levels=_build_columns_jit(
-            c, n, cols.ndim == 3)(cols))
+            c, n, cols.ndim == 3, prune)(cols), prune=prune)
 
     @property
     def num_leaves(self) -> int:
-        return self.level_size(0)
+        return self.level_size(0) << self.prune
 
     def level_size(self, level_i: int) -> int:
         lv = self.levels[level_i]
@@ -288,6 +321,11 @@ class MerkleTree:
         the auth path for `index` (same order/skip rules as
         get_authentication_path) — used for batched device gathers
         (BatchGather axes come from the per-level layouts)."""
+        if self.prune:
+            raise RuntimeError(
+                "pruned tree: the first levels are not stored — auth "
+                "paths come from the device query program's subtree "
+                "recompute (channel/device_query.py), not host gathers")
         if not 0 <= index < self.num_leaves:
             raise IndexError(f"leaf index {index} out of range")
         rows = []

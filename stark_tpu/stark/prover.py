@@ -406,8 +406,16 @@ def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,
 
             trace_tree = dist_merkle_tree(f_evals, mesh, columns=ncols > 1)
         else:
-            trace_tree = (MerkleTree.from_columns(f_evals) if ncols > 1
-                          else MerkleTree(f_evals))
+            # pruned digest storage (merkle/tree.py): levels > 2^20 nodes
+            # are recomputed per query by the device program instead of
+            # held in HBM — the difference between a 2^24-row prove
+            # fitting on one chip and the r4 12 GB OOM
+            from stark_tpu.merkle.tree import prune_depth_for
+
+            prune = prune_depth_for(M)
+            trace_tree = (
+                MerkleTree.from_columns(f_evals, prune=prune) if ncols > 1
+                else MerkleTree(f_evals, prune=prune))
         fs = DeviceFS(p, channel.state, mesh=mesh)
         fs.mark("trace-commit")
         fs.absorb_root(trace_tree.levels[-1][0])
@@ -450,7 +458,10 @@ def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,
                             num_columns=ncols,
                             trace_prev=trace_tree.prev_depth,
                             fri_prev=tuple(
-                                t.prev_depth for t in fri_proof.fri_merkles))
+                                t.prev_depth for t in fri_proof.fri_merkles),
+                            trace_prune=trace_tree.prune,
+                            fri_prune=tuple(
+                                t.prune for t in fri_proof.fri_merkles))
         dev = plan.run_device(
             fs.state, f_evals, trace_tree.levels[:-1],
             fri_proof.fri_layers,

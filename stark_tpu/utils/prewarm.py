@@ -83,11 +83,13 @@ def _eshape(n: int, width: int, ncols: int = 1):
 
 
 def _ladder_jobs(p: int, n: int, num_folds: int, offset: int, width: int,
-                 pallas_ok: bool):
+                 pallas_ok: bool, pruned: bool = False):
     """Compile jobs for every fused FRI layer program of a size-n ladder
-    (fri/commit._layer_jit), plus the shared Pallas tree kernels."""
+    (fri/commit._layer_jit), plus the shared Pallas tree kernels.
+    `pruned` mirrors the deferred/single-fetch path's pruned digest
+    storage (merkle.tree.prune_depth_for)."""
     from stark_tpu.fri.commit import _inv_domain, _layer_jit
-    from stark_tpu.merkle.tree import _use_pallas_build
+    from stark_tpu.merkle.tree import _use_pallas_build, prune_depth_for
 
     jobs = []
     size, off = n, int(offset) % p
@@ -96,7 +98,8 @@ def _ladder_jobs(p: int, n: int, num_folds: int, offset: int, width: int,
 
         def job(m=m, o=o):
             pallas = pallas_ok and _use_pallas_build(m // 2)
-            _layer_jit(p, m, pallas)(
+            prune = prune_depth_for(m // 2) if pruned else 0
+            _layer_jit(p, m, pallas, prune=prune)(
                 _zeros((8,)), _zeros(_eshape(m, width)),
                 _inv_domain(p, m, o))
 
@@ -261,7 +264,8 @@ def prewarm_prove(cfg, air=None) -> None:
     # the FRI ladder folds the composition polynomial — always a single
     # codeword, whatever the trace column count
     jobs += _tree_jobs(M, width, ncols, pallas_ok=True)
-    jobs += _ladder_jobs(p, M, num_folds, h, width, pallas_ok=True)
+    jobs += _ladder_jobs(p, M, num_folds, h, width, pallas_ok=True,
+                         pruned=True)
 
     def compose_job():
         from stark_tpu.stark.prover import get_air_context
@@ -294,7 +298,7 @@ def prewarm_prove(cfg, air=None) -> None:
         from stark_tpu.channel import device_query as _dq
         from stark_tpu.fri.commit import _inv_domain, _layer_jit
         from stark_tpu.merkle.tree import (MerkleTree, _use_pallas_build,
-                                           bitrev_layouts)
+                                           bitrev_layouts, prune_depth_for)
 
         offsets = tuple(s * cfg.blowup for s in air.shifts)
         rng = M - max(offsets)
@@ -302,31 +306,38 @@ def prewarm_prove(cfg, air=None) -> None:
         if not _dq.supported(rng, M, fri_lengths, ncols, width):
             return
         f_evals = _zeros(_eshape(M, width, ncols))
-        trace_tree = (MerkleTree.from_columns(f_evals) if ncols > 1
-                      else MerkleTree(f_evals))
+        t_prune = prune_depth_for(M)
+        trace_tree = (MerkleTree.from_columns(f_evals, prune=t_prune)
+                      if ncols > 1 else MerkleTree(f_evals, prune=t_prune))
         layers, trees = [f_evals if ncols == 1 else f_evals[0]], []
         size, off = M, int(h) % p
         for _ in range(num_folds):
             pallas = _use_pallas_build(size // 2)
-            out = _layer_jit(p, size, pallas)(
+            prune = prune_depth_for(size // 2)
+            out = _layer_jit(p, size, pallas, prune=prune)(
                 _zeros((8,)), _zeros(_eshape(size, width)),
                 _inv_domain(p, size, off))
             folded, levels = out[0], out[1:-2]
             trees.append(MerkleTree(
                 None, device_levels=tuple(levels),
-                layouts=bitrev_layouts(size // 2) if pallas else None))
+                layouts=(bitrev_layouts(size // 2)[prune:] if pallas
+                         else None),
+                prune=prune))
             layers.append(folded)
             size //= 2
             off = off * off % p
         # the unfolded layer's tree is the composition commitment
-        cw_tree = (MerkleTree(layers[0]) if ncols == 1
-                   else MerkleTree(f_evals[0]))
+        cw_tree = (MerkleTree(layers[0], prune=prune_depth_for(M))
+                   if ncols == 1
+                   else MerkleTree(f_evals[0], prune=prune_depth_for(M)))
         all_trees = [cw_tree] + trees
         plan = _dq.get_plan(
             rng, cfg.num_queries, offsets, M, fri_lengths,
             elem_width=width, num_columns=ncols,
             trace_prev=trace_tree.prev_depth,
-            fri_prev=tuple(t.prev_depth for t in all_trees))
+            fri_prev=tuple(t.prev_depth for t in all_trees),
+            trace_prune=trace_tree.prune,
+            fri_prune=tuple(t.prune for t in all_trees))
         plan.run_device(_zeros((8,)), f_evals, trace_tree.levels[:-1],
                         layers, [t.levels[:-1] for t in all_trees])
 

@@ -1,0 +1,96 @@
+"""Pruned Merkle digest storage (merkle/tree.py PRUNE_KEEP_LOG): big
+levels are dropped from HBM and their auth-path siblings recomputed from
+leaf values inside the device query program — transcripts must stay
+byte-identical to full storage, for every family shape."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import stark_tpu.merkle.tree as mt
+import stark_tpu.stark.prover as prover_mod
+from stark_tpu import ProverConfig
+from stark_tpu.merkle.tree import MerkleTree, prune_depth_for
+from stark_tpu.stark import prove, verify
+
+
+@pytest.fixture
+def force_prune(monkeypatch):
+    """Prune everything above 2^3 nodes so tiny test trees exercise the
+    recompute path."""
+    monkeypatch.setattr(mt, "PRUNE_KEEP_LOG", 3)
+    yield
+
+
+def test_prune_depth_for(monkeypatch):
+    monkeypatch.setattr(mt, "PRUNE_KEEP_LOG", 20)
+    assert prune_depth_for(1 << 20) == 0
+    assert prune_depth_for(1 << 24) == 4
+    assert prune_depth_for((1 << 22) - 1) == 0  # non-power-of-two
+    monkeypatch.setenv("STARK_TPU_NO_PRUNE", "1")
+    assert prune_depth_for(1 << 24) == 0
+
+
+def test_pruned_tree_same_root_fewer_levels(force_prune):
+    vals = jnp.arange(256, dtype=jnp.uint32)
+    full = MerkleTree(vals)
+    pruned = MerkleTree(vals, prune=prune_depth_for(256))
+    assert pruned.prune == 5
+    assert len(pruned.levels) == len(full.levels) - 5
+    assert pruned.root() == full.root()
+    assert pruned.num_leaves == 256
+    for a, b in zip(pruned.levels, full.levels[5:]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pruned_tree_host_paths_refuse(force_prune):
+    pruned = MerkleTree(jnp.arange(64, dtype=jnp.uint32), prune=2)
+    with pytest.raises(RuntimeError, match="pruned"):
+        pruned.get_authentication_path(3)
+
+
+def test_prune_rejects_bad_shapes():
+    with pytest.raises(ValueError, match="prune"):
+        MerkleTree(jnp.arange(2, dtype=jnp.uint32), prune=3)
+
+
+def _transcripts(cfg, air=None, monkeypatch=None):
+    mt_keep = mt.PRUNE_KEEP_LOG
+    mt.PRUNE_KEEP_LOG = 99
+    try:
+        full = prove(cfg, air=air)
+    finally:
+        mt.PRUNE_KEEP_LOG = mt_keep
+    assert prover_mod.LAST_PROVE_PATH == "single-fetch"
+    mt.PRUNE_KEEP_LOG = 3
+    try:
+        pruned = prove(cfg, air=air)
+    finally:
+        mt.PRUNE_KEEP_LOG = mt_keep
+    assert prover_mod.LAST_PROVE_PATH == "single-fetch"
+    return full, pruned
+
+
+def test_pruned_prove_byte_identical_single_column(monkeypatch):
+    cfg = ProverConfig(log2_trace=8, blowup=4, num_queries=6)
+    full, pruned = _transcripts(cfg)
+    assert full.proof == pruned.proof
+    assert verify(pruned)
+
+
+def test_pruned_prove_byte_identical_multi_column(monkeypatch):
+    from stark_tpu.stark.air import FibMulAIR
+
+    cfg = ProverConfig(log2_trace=8, blowup=4, num_queries=4)
+    full, pruned = _transcripts(cfg, air=FibMulAIR())
+    assert full.proof == pruned.proof
+    assert verify(pruned)
+
+
+def test_pruned_prove_byte_identical_goldilocks(monkeypatch):
+    cfg = ProverConfig(modulus=2**64 - 2**32 + 1, generator=7,
+                       log2_trace=8, blowup=4, num_queries=4)
+    full, pruned = _transcripts(cfg)
+    assert full.proof == pruned.proof
+    assert verify(pruned)
