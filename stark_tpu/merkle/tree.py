@@ -185,21 +185,27 @@ def _build_jit(n: int, wide: bool = False, prune: int = 0):
                       (n, wide, prune))
 
 
-@functools.lru_cache(maxsize=None)
-def _build_columns_jit(c: int, n: int, wide: bool = False, prune: int = 0):
-    """Jitted multi-column tree build: (c, n) uint32 values — or
-    (c, 2, n) hi/lo limb planes when `wide` — -> digest levels; leaf i =
+def build_columns_fn(n: int, prune: int = 0):
+    """The raw (traceable) multi-column tree build: (c, n) uint32 values
+    — or (c, 2, n) hi/lo limb planes — -> digest levels; leaf i =
     SHA-256(col_0[i] || ... || col_{c-1}[i] as 8-byte BE each) — see
-    hash.sha256_jax.sha256_row_leaves."""
+    hash.sha256_jax.sha256_row_leaves.  Fusable into larger programs
+    (the single-dispatch prove); `_build_columns_jit` is its jit."""
     from stark_tpu.hash.sha256_jax import sha256_row_leaves
 
     def build(cols):
         level = sha256_row_leaves(cols)
         return tuple([level] + levels_above(level, n))[prune:]
 
+    return build
+
+
+@functools.lru_cache(maxsize=None)
+def _build_columns_jit(c: int, n: int, wide: bool = False, prune: int = 0):
     from stark_tpu.utils.progcache import cached_jit
 
-    return cached_jit(build, "tree-build-cols", (c, n, wide, prune))
+    return cached_jit(build_columns_fn(n, prune), "tree-build-cols",
+                      (c, n, wide, prune))
 
 
 class MerkleTree:

@@ -243,11 +243,17 @@ class _FibContext(_BaseContext):
         return self._compose_tables(lde, alphas, a0, a_last, self.inv_b0,
                                     self.inv_b1, self.trans_mult)
 
+    def compose_args(self, publics: dict) -> tuple:
+        """Everything _compose_tables needs after (lde, alphas) — the
+        uniform surface the single-dispatch prove fuses through
+        (stark/prover._mega_fn); compose() is the standalone jit of the
+        same call."""
+        return (self._bc(publics["a0"]), self._bc(publics["a_last"]),
+                self.inv_b0, self.inv_b1, self.trans_mult)
+
     def compose(self, lde, alphas, publics: dict):
         return self._jit(lde, _alphas_arr(alphas, self.fp.p),
-                         self._bc(publics["a0"]),
-                         self._bc(publics["a_last"]),
-                         self.inv_b0, self.inv_b1, self.trans_mult)
+                         *self.compose_args(publics))
 
     def cp_at(self, x: int, opened: list[int], alphas, publics: dict) -> int:
         p = self.fp.p
@@ -373,11 +379,13 @@ class _MimcContext(_BaseContext):
         return self._compose_tables(lde, alphas, x0, x_out, self.inv_b0,
                                     self.inv_b1, self.trans_mult)
 
+    def compose_args(self, publics: dict) -> tuple:
+        return (self._bc(publics["input"]), self._bc(publics["output"]),
+                self.inv_b0, self.inv_b1, self.trans_mult)
+
     def compose(self, lde, alphas, publics: dict):
         return self._jit(lde, _alphas_arr(alphas, self.fp.p),
-                         self._bc(publics["input"]),
-                         self._bc(publics["output"]),
-                         self.inv_b0, self.inv_b1, self.trans_mult)
+                         *self.compose_args(publics))
 
     def cp_at(self, x: int, opened: list[int], alphas, publics: dict) -> int:
         p = self.fp.p
@@ -516,11 +524,14 @@ class _FibMulContext(_BaseContext):
             acc = f.add(acc, f.mul(al, term))
         return acc
 
+    def compose_args(self, publics: dict) -> tuple:
+        return (self._bc(publics["input"]), self._bc(publics["b0"]),
+                self._bc(publics["output"]),
+                self.inv_b0, self.inv_b1, self.trans_mult)
+
     def compose(self, lde, alphas, publics: dict):
         return self._jit(lde, _alphas_arr(alphas, self.fp.p),
-                         self._bc(publics["input"]), self._bc(publics["b0"]),
-                         self._bc(publics["output"]),
-                         self.inv_b0, self.inv_b1, self.trans_mult)
+                         *self.compose_args(publics))
 
     def cp_at(self, x: int, opened: list, alphas, publics: dict) -> int:
         p = self.fp.p

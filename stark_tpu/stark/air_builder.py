@@ -544,14 +544,17 @@ class _SpecContext(_BaseContext):
             acc = f.add(acc, f.mul(al, t))
         return acc
 
-    def compose(self, lde, alphas, publics: dict):
+    def compose_args(self, publics: dict) -> tuple:
         bvals = tuple(self._bc(publics[b.public]) for b in self.spec.boundaries)
         pvals = tuple(
             self._bc(publics[k]) for k in sorted(self.spec.params_spec)
         )
+        return (bvals, pvals, self.binvs, self.trans_mult,
+                self.periodic_small)
+
+    def compose(self, lde, alphas, publics: dict):
         return self._jit(
-            lde, _alphas_arr(alphas, self.fp.p), bvals, pvals,
-            self.binvs, self.trans_mult, self.periodic_small,
+            lde, _alphas_arr(alphas, self.fp.p), *self.compose_args(publics)
         )
 
     def cp_at(self, x: int, opened: list, alphas, publics: dict) -> int:

@@ -239,6 +239,13 @@ def prove(
     )
 
     if single_fetch:
+        if _use_mega(M, mesh, precise):
+            # single-dispatch prove: ONE device program + one packed
+            # fetch for everything after trace-LDE (launch-overhead
+            # regime, probe_fetch_r4)
+            return _prove_mega(
+                cfg, air, channel, f_evals, publics, pub_vals, offsets,
+                rng, fri_lengths, strict, mx, ncols, width)
         # meshes included (r3 verdict item 4): the fused device-FS chain,
         # dist trees, and the device query program all run on the sharded
         # global arrays — GSPMD partitions the gathers; the transcript-
@@ -372,6 +379,212 @@ def _finish_proof(cfg, air, channel, publics, pub_vals, mx) -> StarkProof:
         air_name=air.name,
         extra_publics=extra or None,
     )
+
+
+# The single-dispatch ("mega") prove: everything after trace-LDE — trace
+# commit, challenge draws, composition, the whole FRI ladder, the final-
+# constant absorb, and the query phase — traced into ONE program, so a
+# warm prove is ~4 launches (LDE) + 1 mega launch + 1 packed fetch.
+# probe_fetch_r4 measured the multi-launch path's warm wall as launch
+# pipelining + one ~27 ms tunnel RTT; fusing removes ~40 launches.
+# Only worth it in the latency-bound regime: above _MEGA_MAX_DOMAIN the
+# compute dominates and the extra compile budget buys nothing.
+_MEGA_MAX_DOMAIN = 1 << 20
+
+
+def _use_mega(M: int, mesh, precise: bool) -> bool:
+    import os as _os
+
+    if mesh is not None or precise or _os.environ.get("STARK_TPU_NO_MEGA"):
+        return False
+    return M <= int(_os.environ.get("STARK_TPU_MEGA_MAX",
+                                    str(_MEGA_MAX_DOMAIN)))
+
+
+def _mega_setup(cfg, air, ctx, f_evals, offsets, rng, fri_lengths,
+                ncols: int, width: int):
+    """Static plan for the mega program: build fns, layouts, the query
+    plan, and the Fiat-Shamir log template (kinds in replay order)."""
+    import functools as _ft
+
+    from stark_tpu.channel import device_query as _dq
+    from stark_tpu.fri.commit import _fold_fn, _inv_domain
+    from stark_tpu.hash.pallas_sha import bitrev_prev_depth
+    from stark_tpu.merkle.tree import (_use_pallas_build, build_columns_fn,
+                                       build_levels_fn, prune_depth_for)
+
+    p, M, h = cfg.modulus, cfg.eval_domain_size, cfg.offset
+    num_folds = len(fri_lengths) - 1
+    wide = width == 2
+
+    def single_build(n):
+        """(build_fn, prev, prune) for a single-codeword tree of n
+        leaves, mirroring MerkleTree's dispatch."""
+        prune = prune_depth_for(n)
+        if _use_pallas_build(n, f_evals):
+            from stark_tpu.hash.pallas_sha import build_tree_bitrev
+
+            return (_ft.partial(build_tree_bitrev, prune=prune),
+                    max(0, bitrev_prev_depth(n) - prune), prune)
+        return build_levels_fn(n, wide=wide, prune=prune), 0, prune
+
+    if ncols > 1:
+        t_prune = prune_depth_for(M)
+        trace_build, t_prev = build_columns_fn(M, t_prune), 0
+    else:
+        trace_build, t_prev, t_prune = single_build(M)
+
+    cw_build, cw_prev, cw_prune = single_build(M)
+    folds, layer_builds, inv_doms = [], [], []
+    prevs, prunes = [(cw_prev, cw_prune)], []
+    size, off = M, int(h) % p
+    for _ in range(num_folds):
+        folds.append(_fold_fn(p, size))
+        inv_doms.append(_inv_domain(p, size, off))
+        b, prev_i, prune_i = single_build(size // 2)
+        layer_builds.append(b)
+        prevs.append((prev_i, prune_i))
+        size //= 2
+        off = off * off % p
+
+    plan = _dq.get_plan(
+        rng, cfg.num_queries, tuple(offsets), M, fri_lengths,
+        elem_width=width, num_columns=ncols,
+        trace_prev=t_prev, fri_prev=tuple(pr for pr, _ in prevs),
+        trace_prune=t_prune, fri_prune=tuple(pn for _, pn in prevs))
+    mode = plan._mode(f_evals)
+    log_kinds = (["mark:trace-commit", "root"] + ["draw"] * air.num_alphas
+                 + ["mark:composition", "mark:fri-commit", "root"]
+                 + ["draw", "root"] * num_folds)
+    # everything placement/env-dependent that shapes the traced program
+    struct_key = (mode, t_prev, t_prune, tuple(prevs))
+    return dict(trace_build=trace_build, cw_build=cw_build, folds=folds,
+                layer_builds=layer_builds, inv_doms=tuple(inv_doms),
+                plan=plan, mode=mode, log_kinds=log_kinds,
+                num_folds=num_folds, struct_key=struct_key)
+
+
+def _get_mega_fn(cfg, air, ctx, setup, ncols: int, width: int,
+                 initial: bool):
+    """The cached single-dispatch program for one (AIR, config,
+    placement) — keyed on everything that shapes the traced structure."""
+    key = (setup["struct_key"], initial, cfg.num_queries)
+    cache = getattr(ctx, "_mega_fns", None)
+    if cache is None:
+        cache = ctx._mega_fns = {}
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+
+    from stark_tpu.channel.device_channel import (absorb_digest,
+                                                  absorb_value,
+                                                  draw_field_element)
+    from stark_tpu.stark.air import _alphas_arr
+    from stark_tpu.utils.progcache import cached_jit
+
+    p = cfg.modulus
+    plan, mode = setup["plan"], setup["mode"]
+    num_alphas, num_folds = air.num_alphas, setup["num_folds"]
+    trace_build, cw_build = setup["trace_build"], setup["cw_build"]
+    folds, layer_builds = setup["folds"], setup["layer_builds"]
+
+    def mega(state, f_evals, comp_extras, inv_doms):
+        import jax.numpy as _jnp
+
+        payloads = []
+        t_levels = trace_build(f_evals)
+        # a fresh channel's first absorb runs on the EMPTY state — a
+        # distinct SHA block layout (device_channel.absorb_digest)
+        state = absorb_digest(None if initial else state,
+                              t_levels[-1][0])
+        payloads.append(t_levels[-1][0])
+        alphas = []
+        for _ in range(num_alphas):
+            v, state = draw_field_element(state, p)
+            alphas.append(v)
+            payloads.append(v)
+        cp = ctx._compose_tables(f_evals, _alphas_arr(tuple(alphas), p),
+                                 *comp_extras)
+        cw_levels = cw_build(cp)
+        state = absorb_digest(state, cw_levels[-1][0])
+        payloads.append(cw_levels[-1][0])
+        layers, all_levels = [cp], [cw_levels]
+        evals = cp
+        for i in range(num_folds):
+            beta, state = draw_field_element(state, p)
+            payloads.append(beta)
+            evals = folds[i](evals, beta, inv_doms[i])
+            lv = layer_builds[i](evals)
+            state = absorb_digest(state, lv[-1][0])
+            payloads.append(lv[-1][0])
+            layers.append(evals)
+            all_levels.append(lv)
+        last = layers[-1]
+        if width == 2:
+            hi, lo = last[0, 0], last[1, 0]
+        else:
+            hi, lo = _jnp.zeros((), last.dtype), last[0]
+        state = absorb_value(state, hi, lo)
+        fstate, (idxs, outs) = plan._run(
+            state, f_evals, tuple(t_levels[:-1]), tuple(layers),
+            tuple(tuple(lv[:-1]) for lv in all_levels), mode=mode)
+        return (tuple(payloads), last, fstate, idxs, outs)
+
+    fn = cached_jit(mega, "mega-prove", (
+        type(ctx).__name__, getattr(ctx, "_spec_key", None), p,
+        cfg.log2_trace, cfg.blowup, cfg.num_queries, ncols, width,
+        initial, setup["struct_key"]))
+    cache[key] = fn
+    return fn
+
+
+def _prove_mega(cfg, air, channel, f_evals, publics, pub_vals, offsets,
+                rng, fri_lengths, strict, mx, ncols: int, width: int):
+    """One device dispatch + one packed fetch for the whole post-LDE
+    prove; the host then replays the byte-identical canonical
+    transcript (same machinery as the multi-launch single-fetch path)."""
+    from stark_tpu.channel.device_channel import DeviceFS
+    from stark_tpu.fri.commit import finish_deferred
+    from stark_tpu.utils.packfetch import device_get_packed
+
+    global LAST_PROVE_PATH
+    LAST_PROVE_PATH = "mega"
+
+    import jax.numpy as _jnp
+    import numpy as _np
+
+    p = cfg.modulus
+    ctx = get_air_context(air, cfg)
+    setup = _mega_setup(cfg, air, ctx, f_evals, offsets, rng, fri_lengths,
+                        ncols, width)
+    initial = not channel.state
+    fn = _get_mega_fn(cfg, air, ctx, setup, ncols, width, initial)
+
+    if initial:  # the state arg is unused when initial (dummy zeros)
+        state = _jnp.zeros((8,), _jnp.uint32)
+    else:
+        state = _jnp.asarray(_np.frombuffer(
+            bytes.fromhex(channel.state), dtype=">u4").astype(_np.uint32))
+    with mx.phase("prove-device"):
+        comp_extras = ctx.compose_args(publics)
+        out = fn(state, f_evals, comp_extras, setup["inv_doms"])
+    with mx.phase("fetch-replay"):
+        payload_h, last_h, fstate_h, idxs_h, outs_h = device_get_packed(out)
+        fs = DeviceFS(p, channel.state)
+        fs.log = []
+        for kind in setup["log_kinds"]:
+            if kind.startswith("mark:"):
+                fs.log.append(("mark", kind[5:]))
+            else:
+                fs.log.append((kind, None))
+        # replay_fetched consumes fetched values positionally; payload
+        # arrays were returned in log order
+        fs.replay_fetched(channel, list(payload_h))
+        final_value = finish_deferred(p, last_h, channel, strict)
+        channel.mark_phase("queries")
+        setup["plan"].replay(channel, fstate_h, idxs_h, outs_h)
+    del final_value
+    return _finish_proof(cfg, air, channel, publics, pub_vals, mx)
 
 
 def _prove_single_fetch(cfg, air, channel, f_evals, publics, pub_vals,

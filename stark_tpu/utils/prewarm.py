@@ -289,6 +289,37 @@ def prewarm_prove(cfg, air=None) -> None:
         jit_absorb_value()(d, jnp.zeros((), jnp.uint32),
                            jnp.zeros((), jnp.uint32))
 
+    # the single-dispatch ("mega") program — what a default prove
+    # actually launches in the latency-bound regime (stark/prover
+    # _use_mega); the per-phase jobs above stay for the metrics/sharded/
+    # checkpoint paths and the bench's phase split
+    def mega_job():
+        import jax
+
+        from stark_tpu.stark import prover as _prover
+
+        if not _prover._use_mega(M, None, False):
+            return
+        ctx = _prover.get_air_context(air, cfg)
+        f_evals = _zeros(_eshape(M, width, ncols))
+        offsets = tuple(s * cfg.blowup for s in air.shifts)
+        rng = M - max(offsets)
+        fri_lengths = tuple(M >> k for k in range(num_folds + 1))
+        from stark_tpu.channel import device_query as _dq
+
+        if not _dq.supported(rng, M, fri_lengths, ncols, width):
+            return
+        setup = _prover._mega_setup(cfg, air, ctx, f_evals, offsets, rng,
+                                    fri_lengths, ncols, width)
+        fn = _prover._get_mega_fn(cfg, air, ctx, setup, ncols, width, True)
+        trace = air.build_trace(cfg)
+        publics = air.publics(trace)
+        comp_extras = ctx.compose_args(publics)
+        jax.block_until_ready(fn(
+            jnp.zeros((8,), jnp.uint32), f_evals, comp_extras,
+            setup["inv_doms"]))
+
+    jobs.append(("mega-prove", mega_job))
     jobs.append(("device-channel", channel_jobs))
     _run_jobs(jobs)
 

@@ -67,18 +67,12 @@ def test_regenerated_goldilocks_fibmul_is_byte_identical(vectors,
     matches the frozen vector byte for byte."""
     import stark_tpu.stark.prover as prov
 
-    taken = []
-    orig = prov._prove_single_fetch
-
-    def spy(*a, **k):
-        taken.append(1)
-        return orig(*a, **k)
-
-    monkeypatch.setattr(prov, "_prove_single_fetch", spy)
     cfg = ProverConfig(modulus=2**64 - 2**32 + 1, generator=7,
                        log2_trace=5, blowup=4, num_queries=3)
     pr = prove(cfg, air=FibMulAIR(a0=1, b0=2718281))
-    assert taken, "goldilocks fibmul fell back to the host query loop"
+    assert prov.LAST_PROVE_PATH in ("mega", "single-fetch"), (
+        "goldilocks fibmul fell back to the host query loop: "
+        f"{prov.LAST_PROVE_PATH}")
     stored = StarkProof.deserialize(
         json.dumps(vectors["fibmul_gl_2e5"]).encode())
     assert pr.proof == stored.proof

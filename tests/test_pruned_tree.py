@@ -62,13 +62,13 @@ def _transcripts(cfg, air=None, monkeypatch=None):
         full = prove(cfg, air=air)
     finally:
         mt.PRUNE_KEEP_LOG = mt_keep
-    assert prover_mod.LAST_PROVE_PATH == "single-fetch"
+    assert prover_mod.LAST_PROVE_PATH in ("single-fetch", "mega")
     mt.PRUNE_KEEP_LOG = 3
     try:
         pruned = prove(cfg, air=air)
     finally:
         mt.PRUNE_KEEP_LOG = mt_keep
-    assert prover_mod.LAST_PROVE_PATH == "single-fetch"
+    assert prover_mod.LAST_PROVE_PATH in ("single-fetch", "mega")
     return full, pruned
 
 

@@ -102,9 +102,15 @@ class TestProveVerify:
 
     def test_single_fetch_path_is_taken(self, monkeypatch):
         """Guard against silent fallback: a plain single-device prove must
-        go through _prove_single_fetch."""
+        take a device-resident fast path (the single-dispatch mega
+        program, or the multi-launch single-fetch pipeline) — never the
+        per-query host loop."""
         import stark_tpu.stark.prover as prover_mod
 
+        prove(SMALL)
+        assert prover_mod.LAST_PROVE_PATH in ("mega", "single-fetch"), (
+            prover_mod.LAST_PROVE_PATH)
+        # and with mega disabled, specifically _prove_single_fetch
         called = {}
         orig = prover_mod._prove_single_fetch
 
@@ -113,6 +119,7 @@ class TestProveVerify:
             return orig(*a, **k)
 
         monkeypatch.setattr(prover_mod, "_prove_single_fetch", spy)
+        monkeypatch.setenv("STARK_TPU_NO_MEGA", "1")
         prove(SMALL)
         assert called.get("hit"), "single-fetch fast path not taken"
 
