@@ -43,7 +43,13 @@ if not _os.environ.get("STARK_TPU_NO_COMPILE_CACHE"):
                           _os.pardir, ".jax_cache"),
         ),
     )
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # persist EVERYTHING: the prove dispatches ~40 small programs that
+    # compile in 2-4 s each — above any useful work threshold but below
+    # jax's 5 s default, so warm starts re-paid ~100 s of small compiles
+    # (measured 2026-08-20: no-mega first prove 113 s with a fully warm
+    # program cache; mega first 11 s because its ONE big program did
+    # persist).  Disk cost is a few hundred MB, irrelevant here.
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     # Also persist the backend-specific (Mosaic/Pallas) compilation
     # artifacts: measured on the tunneled v5e (benches/probe_compile_r3
     # session, 2026-08-19), a 2^21-node SHA kernel's second-process
