@@ -105,7 +105,12 @@ _TAIL_SIZE = 1 << 10
 # (64 MB at the default), whatever the leaf count.
 import os as _os
 
-PRUNE_KEEP_LOG = int(_os.environ.get("STARK_TPU_PRUNE_KEEP_LOG", "20"))
+# Default 22: full storage at LDE <= 2^24 is ~6 GB (fits the v5e), and
+# the bigtrace ladder measured pruning's query-recompute costing ~300 ms
+# at 2^22 rows — so pruning engages only from LDE 2^25 up, where it is
+# the difference between fitting and OOM (retained digests at 2^26:
+# ~256 MB/tree).
+PRUNE_KEEP_LOG = int(_os.environ.get("STARK_TPU_PRUNE_KEEP_LOG", "22"))
 
 
 def prune_depth_for(n: int) -> int:
