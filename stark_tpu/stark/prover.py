@@ -239,7 +239,7 @@ def prove(
     )
 
     if single_fetch:
-        if _use_mega(M, mesh, precise):
+        if _use_mega(M, mesh, precise, f_evals):
             # single-dispatch prove: ONE device program + one packed
             # fetch for everything after trace-LDE (launch-overhead
             # regime, probe_fetch_r4)
@@ -392,13 +392,30 @@ def _finish_proof(cfg, air, channel, publics, pub_vals, mx) -> StarkProof:
 _MEGA_MAX_DOMAIN = 1 << 20
 
 
-def _use_mega(M: int, mesh, precise: bool) -> bool:
+def _use_mega(M: int, mesh, precise: bool, values=None) -> bool:
     import os as _os
 
     if mesh is not None or precise or _os.environ.get("STARK_TPU_NO_MEGA"):
         return False
-    return M <= int(_os.environ.get("STARK_TPU_MEGA_MAX",
-                                    str(_MEGA_MAX_DOMAIN)))
+    if M > int(_os.environ.get("STARK_TPU_MEGA_MAX",
+                               str(_MEGA_MAX_DOMAIN))):
+        return False
+    if _os.environ.get("STARK_TPU_FORCE_MEGA"):
+        return True
+    # TPU-only by default: the mega program's payoff is tunnel launch
+    # latency; on CPU it only buys a giant XLA compile (a wide-field
+    # periodic spec measured >100 GB of compile RSS on the CPU backend)
+    if values is not None:
+        try:
+            return next(iter(values.devices())).platform == "tpu"
+        except Exception:
+            pass
+    import jax as _jax
+
+    try:
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _mega_setup(cfg, air, ctx, f_evals, offsets, rng, fri_lengths,

@@ -17,7 +17,11 @@ def _pair(cfg, air=None, monkeypatch=None):
     a = prove(cfg, air=air)
     assert pm.LAST_PROVE_PATH == "single-fetch"
     monkeypatch.delenv("STARK_TPU_NO_MEGA")
+    # mega is TPU-only by default (its payoff is tunnel launch latency);
+    # force it on the CPU test backend to pin byte-identity
+    monkeypatch.setenv("STARK_TPU_FORCE_MEGA", "1")
     b = prove(cfg, air=air)
+    monkeypatch.delenv("STARK_TPU_FORCE_MEGA")
     assert pm.LAST_PROVE_PATH == "mega"
     return a, b
 
@@ -39,14 +43,18 @@ def test_mega_byte_identical_multi_column(monkeypatch):
 
 
 def test_mega_byte_identical_goldilocks(monkeypatch):
+    # log2_trace=6: the wide-field mega program is the heaviest CPU
+    # compile in the suite — the smallest config still pins every
+    # transcript-critical path
     cfg = ProverConfig(modulus=2**64 - 2**32 + 1, generator=7,
-                       log2_trace=8, blowup=4, num_queries=4)
+                       log2_trace=6, blowup=4, num_queries=4)
     a, b = _pair(cfg, monkeypatch=monkeypatch)
     assert a.proof == b.proof
     assert verify(b)
 
 
 def test_mega_respects_size_gate(monkeypatch):
+    monkeypatch.setenv("STARK_TPU_FORCE_MEGA", "1")
     monkeypatch.setenv("STARK_TPU_MEGA_MAX", "16")  # below any real M
     cfg = ProverConfig(log2_trace=8, blowup=4, num_queries=4)
     prove(cfg)
