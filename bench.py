@@ -326,6 +326,10 @@ def main():
     # phase syncs; the split localizes where warm-prove time goes
     from stark_tpu.utils.metrics import MetricsCollector
 
+    prove(cfg, metrics=MetricsCollector())  # warm the per-phase path:
+    # precise-metrics proves skip the mega program, so their first run
+    # pays the per-phase executables' first loads (~0.5-1 s each via the
+    # tunnel) — the split localizes runtime, not load time
     mx = MetricsCollector()
     prove(cfg, metrics=mx)
     results["prove_phase_split"] = mx.to_dict()
