@@ -70,7 +70,9 @@ def run_target(name: str) -> None:
         cw.block_until_ready()
         result["coset_evaluate_s"] = time.perf_counter() - t_nt
         t_pw = time.perf_counter()
-        prewarm_fri(P, blowup << log_deg, log_deg, 5)
+        # lde_deg: cover the FULL bench path (LDE + channel + decommit
+        # query program) in the parallel pool, exactly like bench.py
+        prewarm_fri(P, blowup << log_deg, log_deg, 5, lde_deg=log_deg)
         result["prewarm_s"] = time.perf_counter() - t_pw
         t_fr = time.perf_counter()
         ch = Channel(P)

@@ -239,7 +239,7 @@ def prove(
     )
 
     if single_fetch:
-        if _use_mega(M, mesh, precise, f_evals):
+        if _use_mega(M, mesh, precise, f_evals, width):
             # single-dispatch prove: ONE device program + one packed
             # fetch for everything after trace-LDE (launch-overhead
             # regime, probe_fetch_r4)
@@ -392,7 +392,8 @@ def _finish_proof(cfg, air, channel, publics, pub_vals, mx) -> StarkProof:
 _MEGA_MAX_DOMAIN = 1 << 20
 
 
-def _use_mega(M: int, mesh, precise: bool, values=None) -> bool:
+def _use_mega(M: int, mesh, precise: bool, values=None,
+              width: int = 1) -> bool:
     import os as _os
 
     if mesh is not None or precise or _os.environ.get("STARK_TPU_NO_MEGA"):
@@ -402,6 +403,12 @@ def _use_mega(M: int, mesh, precise: bool, values=None) -> bool:
         return False
     if _os.environ.get("STARK_TPU_FORCE_MEGA"):
         return True
+    if width != 1:
+        # wide-field (Goldilocks) mega: measured 2026-08-20, the
+        # chain-break-laden program costs ~55 s of load/compile per
+        # process even cache-warm for a ~5 ms warm-wall gain over the
+        # multi-launch path (probe_cold_r4.txt warmcache goldilocks10)
+        return False
     # TPU-only by default: the mega program's payoff is tunnel launch
     # latency; on CPU it only buys a giant XLA compile (a wide-field
     # periodic spec measured >100 GB of compile RSS on the CPU backend)

@@ -298,7 +298,7 @@ def prewarm_prove(cfg, air=None) -> None:
 
         from stark_tpu.stark import prover as _prover
 
-        if not _prover._use_mega(M, None, False):
+        if not _prover._use_mega(M, None, False, width=width):
             return
         ctx = _prover.get_air_context(air, cfg)
         f_evals = _zeros(_eshape(M, width, ncols))
