@@ -151,11 +151,21 @@ def main():
     # If the TPU tunnel is configured but dead, backend init would hang
     # this process forever — probe it (bounded, in a subprocess) and fall
     # back to CPU with reduced sizes so the harness always emits numbers.
+    # Artifact runs (non-quick) poll the canary up to ~10 minutes and
+    # ignore any cached negative verdict: a single slow canary must not
+    # turn the round's official record into a CPU run (BENCH_r04 did
+    # exactly that — r4 Weak #2).
     from stark_tpu.utils.tunnel import ensure_live_backend
 
-    platform_guard = ensure_live_backend()
+    if args.quick or args.cpu:
+        platform_guard = ensure_live_backend()
+    else:
+        platform_guard = ensure_live_backend(
+            timeout=120.0, retries=5, retry_sleep=30.0,
+            honor_cached_negative=False)
     if platform_guard == "cpu":
-        log("TPU tunnel unreachable — benchmarking on CPU fallback (--quick)")
+        log("CPU FALLBACK — no TPU numbers this run "
+            "(tunnel unreachable after bounded canary retries)")
         args.quick = True
         args.full_prove = False
 
@@ -472,34 +482,65 @@ def main():
 
     base_path = "benches/baseline.json"
     regressed = False
-    # spread/median keys are drift diagnostics, not metrics; the host
-    # numpy NTT baseline swings with CPU contention; first-run (cold)
-    # walls swing with compile-service load and cache state — none of
-    # them should trip the gate (cold-start targets are tracked against
-    # VERDICT thresholds in the probe artifacts instead)
-    gated = {k: v for k, v in results.items()
-             if not any(s in k for s in ("spread", "median", "host_baseline",
-                                         "_first_s"))}
-    for v in compare(gated, base_path, threshold=0.15):
-        tag = v["verdict"].upper()
-        if tag == "REGRESSED":
-            regressed = True
-        if tag != "UNCHANGED":
-            log(f"  [{tag}] {v['metric']}: {v['current']:.4g} vs baseline "
-                f"{v['baseline']:.4g} ({v['change_pct']:+.1f}%)")
-    if regressed:
-        log("REGRESSED metrics above — investigate before accepting "
-            "(baseline: benches/baseline.json; refresh with "
-            "--save-baseline)")
+    # a CPU-fallback run must never be compared against a TPU baseline:
+    # BENCH_r04's tail was full of cross-platform [-97.9%] noise verdicts
+    # (r4 Weak #1).  Platform mismatch => skip the gate entirely.
+    base_platform = None
+    if os.path.exists(base_path):
+        try:
+            with open(base_path) as fh:
+                base_platform = json.load(fh).get("platform")
+        except (OSError, ValueError):
+            base_platform = None
+    if base_platform is not None and base_platform != results["platform"]:
+        log(f"regression gate SKIPPED: this run is platform "
+            f"'{results['platform']}' but the baseline is "
+            f"'{base_platform}' — cross-platform comparison is "
+            "meaningless")
+    else:
+        # spread/median keys are drift diagnostics, not metrics; the host
+        # numpy NTT baseline swings with CPU contention; first-run (cold)
+        # walls swing with compile-service load and cache state — none of
+        # them should trip the gate (cold-start targets are tracked
+        # against VERDICT thresholds in the probe artifacts instead)
+        gated = {k: v for k, v in results.items()
+                 if not any(s in k for s in ("spread", "median",
+                                             "host_baseline", "_first_s"))}
+        for v in compare(gated, base_path, threshold=0.15):
+            tag = v["verdict"].upper()
+            if tag == "REGRESSED":
+                regressed = True
+            if tag != "UNCHANGED":
+                log(f"  [{tag}] {v['metric']}: {v['current']:.4g} vs "
+                    f"baseline {v['baseline']:.4g} "
+                    f"({v['change_pct']:+.1f}%)")
+        if regressed:
+            log("REGRESSED metrics above — investigate before accepting "
+                "(baseline: benches/baseline.json; refresh with "
+                "--save-baseline)")
     if args.save_baseline or not os.path.exists(base_path):
         save_baseline(results, base_path)
         log(f"baseline saved to {base_path}")
+
+    # any run that rewrites benches/latest.json regenerates the README in
+    # the same step, so artifact and README can never disagree at HEAD
+    # (r4 Weak #3; enforced by tests/test_readme_numbers.py)
+    if latest_path == "benches/latest.json":
+        import subprocess
+
+        rr = subprocess.run(
+            [sys.executable, "benches/render_readme.py"],
+            capture_output=True, text=True)
+        log(f"README regen: rc={rr.returncode} "
+            f"{(rr.stdout or rr.stderr).strip()}")
 
     print(json.dumps({
         "metric": f"ntt_2e{log_n}_ms",
         "value": round(t_ntt * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(vs_baseline, 2),
+        "platform": results["platform"],
+        "tunnel_fallback": results["tunnel_fallback"],
     }))
 
 

@@ -55,20 +55,7 @@ def _write_state(alive):
         pass
 
 
-def probe_tunnel(timeout=120.0, use_cache=True):
-    """True iff the remote TPU answers a tiny jit within ``timeout``.
-
-    Runs in a subprocess so a dead tunnel costs one bounded wait instead
-    of a permanent hang.  Only meaningful when ``PALLAS_AXON_POOL_IPS``
-    is set; returns None when no tunnel is configured.
-    """
-    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
-        return None
-    if use_cache:
-        cached = _cached_state()
-        if cached is not None:
-            return cached
-    alive = False
+def _run_canary(timeout):
     try:
         r = subprocess.run(
             [sys.executable, "-c", _CANARY_SRC],
@@ -76,9 +63,42 @@ def probe_tunnel(timeout=120.0, use_cache=True):
             text=True,
             timeout=timeout,
         )
-        alive = "TUNNEL-LIVE" in (r.stdout or "")
+        return "TUNNEL-LIVE" in (r.stdout or "")
     except (subprocess.TimeoutExpired, OSError):
-        alive = False
+        return False
+
+
+def probe_tunnel(timeout=120.0, use_cache=True, retries=1, retry_sleep=30.0,
+                 honor_cached_negative=True):
+    """True iff the remote TPU answers a tiny jit within ``timeout``.
+
+    Runs in a subprocess so a dead tunnel costs one bounded wait instead
+    of a permanent hang.  Only meaningful when ``PALLAS_AXON_POOL_IPS``
+    is set; returns None when no tunnel is configured.
+
+    ``retries`` polls the canary that many times (sleeping
+    ``retry_sleep`` between failures) before declaring the tunnel dead —
+    a single slow canary (first-jit on a congested tunnel) must not
+    condemn a whole bench run (BENCH_r04's CPU-fallback artifact came
+    from exactly that).  ``honor_cached_negative=False`` ignores a
+    cached "dead" verdict and re-probes: callers about to produce the
+    round's official artifact must never trust a stale negative.
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return None
+    if use_cache:
+        cached = _cached_state()
+        if cached is True:
+            return True
+        if cached is False and honor_cached_negative:
+            return False
+    alive = False
+    for attempt in range(max(1, int(retries))):
+        if attempt:
+            time.sleep(retry_sleep)
+        alive = _run_canary(timeout)
+        if alive:
+            break
     _write_state(alive)
     return alive
 
@@ -99,19 +119,26 @@ def force_cpu():
         pass
 
 
-def ensure_live_backend(timeout=120.0):
+def ensure_live_backend(timeout=120.0, retries=1, retry_sleep=30.0,
+                        honor_cached_negative=True):
     """Guard an entry point against a dead TPU tunnel.
 
     Returns the platform this process will use: ``"local"`` (no tunnel
     configured — whatever jax picks), ``"axon"`` (tunnel answered), or
     ``"cpu"`` (tunnel dead — process pinned to CPU).  Set
     ``STARK_TPU_FORCE_AXON=1`` to skip the probe and trust the tunnel.
+
+    Artifact-producing callers (bench.py's non-quick path) should pass
+    ``retries>1, honor_cached_negative=False`` so a transiently slow
+    canary — or another process's stale negative verdict — cannot turn
+    the round's official record into a CPU-fallback run (r4 Weak #2).
     """
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return "local"
     if os.environ.get("STARK_TPU_FORCE_AXON") == "1":
         return "axon"
-    if probe_tunnel(timeout=timeout):
+    if probe_tunnel(timeout=timeout, retries=retries, retry_sleep=retry_sleep,
+                    honor_cached_negative=honor_cached_negative):
         return "axon"
     force_cpu()
     return "cpu"

@@ -67,6 +67,50 @@ class TestCache:
         assert tunnel.probe_tunnel(timeout=30) is False
 
 
+class TestRetry:
+    def test_retries_until_live(self, monkeypatch, state_path, tmp_path):
+        """A canary that fails once then succeeds must yield alive=True
+        when retries>1 (r4's one-shot canary condemned a live TPU)."""
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+        flag = tmp_path / "second_try"
+        src = (
+            "import os,sys;"
+            f"p={str(flag)!r};"
+            "ok=os.path.exists(p);"
+            "open(p,'w').close();"
+            "print('TUNNEL-LIVE' if ok else 'down')"
+        )
+        monkeypatch.setattr(tunnel, "_CANARY_SRC", src)
+        assert tunnel.probe_tunnel(
+            timeout=30, use_cache=False, retries=3, retry_sleep=0.0
+        ) is True
+        assert json.load(open(state_path))["alive"] is True
+
+    def test_cached_negative_ignored_for_artifact_path(
+        self, monkeypatch, state_path
+    ):
+        """honor_cached_negative=False must re-probe even when another
+        process just cached a 'dead' verdict (r4 Weak #2: the driver's
+        bench honored a stale negative while the TPU was answering)."""
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+        state_path.write_text(json.dumps({"ts": time.time(), "alive": False}))
+        monkeypatch.setattr(tunnel, "_CANARY_SRC", "print('TUNNEL-LIVE')")
+        # default path honors the cached negative
+        assert tunnel.probe_tunnel(timeout=30) is False
+        # artifact path re-probes and finds the tunnel alive
+        assert tunnel.probe_tunnel(
+            timeout=30, honor_cached_negative=False
+        ) is True
+
+    def test_cached_positive_still_honored(self, monkeypatch, state_path):
+        monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+        state_path.write_text(json.dumps({"ts": time.time(), "alive": True}))
+        monkeypatch.setattr(tunnel, "_CANARY_SRC", "raise SystemExit(1)")
+        assert tunnel.probe_tunnel(
+            timeout=30, honor_cached_negative=False
+        ) is True
+
+
 class TestEnsure:
     def test_force_axon_skips_probe(self, monkeypatch, state_path):
         monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
