@@ -163,13 +163,20 @@ def main():
         platform_guard = ensure_live_backend(
             timeout=120.0, retries=5, retry_sleep=30.0,
             honor_cached_negative=False)
+    import jax
+
     if platform_guard == "cpu":
         log("CPU FALLBACK — no TPU numbers this run "
             "(tunnel unreachable after bounded canary retries)")
         args.quick = True
         args.full_prove = False
-
-    import jax
+        # no persistent cache for fallback runs: loading serialized
+        # XLA:CPU executables sprays AOT feature-mismatch warnings into
+        # the driver artifact (r4 VERDICT missing #5)
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:
+            pass
 
     if args.cpu:
         jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])

@@ -32,24 +32,64 @@ import os as _os
 # fused kernels take tens of seconds (via this environment's remote
 # compile helper); the cache makes them one-time per machine.  Opt out
 # with STARK_TPU_NO_COMPILE_CACHE=1.
+def _machine_fingerprint() -> str:
+    """Short digest of this host's CPU identity (arch + ISA flags).
+
+    Serialized XLA:CPU executables embed the compile machine's ISA
+    features; loading one on a different host risks SIGILL (the r4
+    driver artifacts were full of the loader's feature-mismatch
+    warnings).  CPU-backend cache dirs are scoped by this digest so an
+    artifact can only ever be loaded on a machine whose CPU features
+    match the one that compiled it.  TPU executables are keyed by device
+    kind inside XLA's own cache key and stay shared.
+    """
+    import hashlib as _hashlib
+    import platform as _platform
+
+    h = _hashlib.sha256(_platform.machine().encode())
+    try:
+        with open("/proc/cpuinfo") as _fh:
+            for _ln in _fh:
+                if _ln.startswith(("flags", "Features")):
+                    h.update(_ln.encode())
+                    break
+    except OSError:
+        h.update(_platform.processor().encode())
+    return h.hexdigest()[:12]
+
+
+def _is_cpu_default() -> bool:
+    """True when this process will default to the CPU backend (no TPU
+    tunnel configured, or JAX_PLATFORMS pins cpu) — decided from env
+    only, so no backend is initialised at import time."""
+    plat = _os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        return plat.split(",")[0].strip() == "cpu"
+    return not _os.environ.get("PALLAS_AXON_POOL_IPS")
+
+
 if not _os.environ.get("STARK_TPU_NO_COMPILE_CACHE"):
     import jax as _jax
 
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get(
-            "STARK_TPU_COMPILE_CACHE",
-            _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                          _os.pardir, ".jax_cache"),
-        ),
+    _cache_base = _os.environ.get(
+        "STARK_TPU_COMPILE_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      _os.pardir, ".jax_cache"),
     )
+    if _is_cpu_default():
+        _cache_base = _os.path.join(
+            _cache_base, f"cpu-{_machine_fingerprint()}")
+    _jax.config.update("jax_compilation_cache_dir", _cache_base)
     # persist EVERYTHING: the prove dispatches ~40 small programs that
     # compile in 2-4 s each — above any useful work threshold but below
     # jax's 5 s default, so warm starts re-paid ~100 s of small compiles
     # (measured 2026-08-20: no-mega first prove 113 s with a fully warm
     # program cache; mega first 11 s because its ONE big program did
-    # persist).  Disk cost is a few hundred MB, irrelevant here.
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    # persist).  Threshold 0, not 1: a warm 2^14 prove still re-paid
+    # ~11 sub-second jit_reshape compiles (~0.5 s each through the
+    # tunneled compile service) every process under threshold 1
+    # (benches/probe_warmcompile_r5).  Disk cost is irrelevant here.
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     # Also persist the backend-specific (Mosaic/Pallas) compilation
     # artifacts: measured on the tunneled v5e (benches/probe_compile_r3
     # session, 2026-08-19), a 2^21-node SHA kernel's second-process

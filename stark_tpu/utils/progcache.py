@@ -51,20 +51,42 @@ def _cache_dir() -> str | None:
     return os.path.join(base, "programs")
 
 
+# Package-relative sources that can NOT change a traced program: harness
+# and observability only.  Everything else in the package is hashed, so
+# any compute-relevant edit still invalidates every artifact — but an
+# edit to the bench tunnel guard or logging no longer throws away a
+# cache whose rebuild costs minutes of TPU compile (measured r5: one
+# tunnel.py edit turned a 46 s warm-cache first prove into a 225 s
+# true-cold one).
+_FINGERPRINT_EXCLUDE = {
+    "cli.py",
+    "__main__.py",
+    os.path.join("utils", "tunnel.py"),
+    os.path.join("utils", "regression.py"),
+    os.path.join("utils", "logging.py"),
+    os.path.join("utils", "metrics.py"),
+    os.path.join("utils", "prewarm.py"),
+}
+
+
 @functools.cache
 def _source_fingerprint() -> str:
-    """SHA-256 over every source file in the package, so any code edit
-    invalidates every cached program (correctness beats reuse)."""
+    """SHA-256 over every compute-relevant source file in the package,
+    so any code edit that could alter a traced program invalidates every
+    cached artifact (correctness beats reuse); pure-harness modules are
+    excluded (see _FINGERPRINT_EXCLUDE)."""
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.sha256()
     names = []
     for root, _dirs, files in os.walk(pkg):
         for fn in files:
             if fn.endswith((".py", ".cpp", ".h")):
-                names.append(os.path.join(root, fn))
-    for path in sorted(names):
-        h.update(os.path.relpath(path, pkg).encode())
-        with open(path, "rb") as fh:
+                rel = os.path.relpath(os.path.join(root, fn), pkg)
+                if rel not in _FINGERPRINT_EXCLUDE:
+                    names.append(rel)
+    for rel in sorted(names):
+        h.update(rel.encode())
+        with open(os.path.join(pkg, rel), "rb") as fh:
             h.update(fh.read())
     h.update(jax.__version__.encode())
     return h.hexdigest()[:16]

@@ -18,8 +18,12 @@ def test_entry_compiles_and_runs():
     assert shapes[1][0] == shapes[2][0] * 2  # cp and first fold
 
 
-def test_dryrun_multichip_8():
+def test_dryrun_multichip_8(monkeypatch):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # keep the machine-scoped cache in tests (same-host-safe); the
+    # driver's artifact run omits this and compiles fresh so its
+    # MULTICHIP log carries no CPU-AOT feature-mismatch warnings
+    monkeypatch.setenv("STARK_TPU_DRYRUN_CACHE", "1")
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)

@@ -123,6 +123,54 @@ def test_source_fingerprint_stable():
     assert len(a) == 16
 
 
+def test_source_fingerprint_skips_harness_modules():
+    """Pure-harness sources (tunnel guard, logging, bench regression)
+    must not key the program cache: an edit there cannot change a traced
+    program, and invalidating every artifact over one costs minutes of
+    TPU compile (measured r5: 46 s -> 225 s warm-cache first prove)."""
+    import os
+
+    import stark_tpu
+
+    pkg = os.path.dirname(os.path.abspath(stark_tpu.__file__))
+    hashed = set()
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if fn.endswith((".py", ".cpp", ".h")):
+                rel = os.path.relpath(os.path.join(root, fn), pkg)
+                if rel not in progcache._FINGERPRINT_EXCLUDE:
+                    hashed.add(rel)
+    # harness modules excluded ...
+    assert os.path.join("utils", "tunnel.py") not in hashed
+    assert os.path.join("utils", "logging.py") not in hashed
+    # ... but every compute-path module is still hashed
+    for rel in (os.path.join("fields", "fp.py"),
+                os.path.join("ntt", "ntt.py"),
+                os.path.join("stark", "prover.py"),
+                os.path.join("utils", "debug.py"),
+                os.path.join("utils", "packfetch.py"),
+                "config.py"):
+        assert rel in hashed, rel
+
+
+def test_cpu_cache_dir_is_machine_scoped(monkeypatch):
+    """CPU-default runs must scope the XLA persistent cache by host CPU
+    identity: serialized XLA:CPU executables embed ISA features and are
+    a latent SIGILL on any other machine (r4 VERDICT missing #5)."""
+    import stark_tpu
+
+    fp = stark_tpu._machine_fingerprint()
+    assert fp == stark_tpu._machine_fingerprint()
+    assert len(fp) == 12
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert stark_tpu._is_cpu_default()
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    assert not stark_tpu._is_cpu_default()
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS")
+    assert stark_tpu._is_cpu_default()
+
+
 def test_fn_digest_separates_closures():
     def make(k):
         return lambda f, rows, P: rows[0][0] + k
