@@ -81,6 +81,7 @@ def _setup(args):
 
 def cmd_prove(args) -> int:
     from stark_tpu.stark import prove
+    from stark_tpu.stark.families import build_air
 
     log, mesh = _setup(args)
     cfg = _make_config(args)
@@ -88,22 +89,26 @@ def cmd_prove(args) -> int:
     log.info("proving %s: 2^%d-1 rows, blowup %d, %d queries%s",
              args.air, args.log2_trace, args.blowup, args.num_queries,
              f", {args.mesh}-device mesh" if mesh else "")
+    if getattr(args, "daemon", False):
+        from stark_tpu import serve
+
+        info = serve.ensure_daemon(args.socket)
+        log.info("daemon pid %d on %s (%s, %d proves served)",
+                 info["pid"], args.socket or serve.default_socket_path(),
+                 info["platform"], info["proves"])
+        t0 = time.perf_counter()
+        proof = serve.daemon_prove(
+            cfg, air=args.air, secret=args.secret, mimc_key=args.mimc_key,
+            socket_path=args.socket)
+        dt = time.perf_counter() - t0
+        blob = proof.serialize(compress=args.compress)
+        with open(args.output, "wb") as fh:
+            fh.write(blob)
+        log.info("proved via daemon in %.2fs: %d transcript bytes -> %s",
+                 dt, proof.size_bytes(), args.output)
+        return 0
     t0 = time.perf_counter()
-    if args.air == "mimc3":
-        from stark_tpu.stark import MimcAIR
-
-        air = MimcAIR(x0=args.secret, k=args.mimc_key)
-    elif args.air == "fibmul":
-        from stark_tpu.stark import FibMulAIR
-
-        air = FibMulAIR(b0=args.secret)
-    elif args.air != "fibonacci-square":
-        from stark_tpu.stark.families import FAMILIES
-
-        spec, secret_key = FAMILIES[args.air]
-        air = spec(**{secret_key: args.secret})
-    else:
-        air = None
+    air = build_air(args.air, args.secret, mimc_key=args.mimc_key)
     proof = prove(cfg, a1=args.secret, mesh=mesh, air=air)
     dt = time.perf_counter() - t0
     blob = proof.serialize(compress=args.compress)
@@ -149,6 +154,31 @@ def cmd_bench(args) -> int:
     return subprocess.call(cmd)
 
 
+def cmd_serve(args) -> int:
+    from stark_tpu import serve
+    from stark_tpu.config import ProverConfig
+    from stark_tpu.stark import prove
+    from stark_tpu.utils.logging import setup_logging
+
+    log = setup_logging()
+    if args.cpu:
+        import jax
+
+        jax.config.update(
+            "jax_default_device", jax.local_devices(backend="cpu")[0])
+    for log2 in args.warm or ():
+        t0 = time.perf_counter()
+        prove(ProverConfig(log2_trace=log2, blowup=4, num_queries=16))
+        log.info("warm prove 2^%d done in %.1fs", log2,
+                 time.perf_counter() - t0)
+    server = serve.ProverServer(args.socket)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -182,7 +212,23 @@ def main(argv=None) -> int:
     p.add_argument("--compress", action="store_true",
                    help="write the binary node-deduplicated container "
                         "(channel/compress.py) instead of JSON")
+    p.add_argument("--daemon", action="store_true",
+                   help="prove via the resident daemon (spawning it if "
+                        "needed): repeat proves skip per-process program "
+                        "acquisition entirely (stark_tpu/serve.py)")
+    p.add_argument("--socket", default=None,
+                   help="daemon socket path (default: per-user tmp)")
     p.set_defaults(fn=cmd_prove)
+
+    p = sub.add_parser(
+        "serve", help="run the resident prover daemon (stark_tpu/serve.py)")
+    p.add_argument("--socket", default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--warm", type=int, nargs="*", default=None,
+                   metavar="LOG2_TRACE",
+                   help="prewarm the prove pipeline at these trace sizes "
+                        "before serving (e.g. --warm 14 18)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("verify", help="verify a proof file")
     p.add_argument("proof")

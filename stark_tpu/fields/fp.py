@@ -226,6 +226,28 @@ class Fp:
         """
         return self.pow_static(a, self.p - 2)
 
+    def inv_rolled(self, a):
+        """Fermat inverse with the square-and-multiply chain ROLLED into
+        a fori_loop: one squaring + one masked multiply per iteration,
+        so the traced program is O(1) ops instead of O(log p) unrolled
+        multiplies.  Same FLOPs at runtime; use where program SIZE
+        dominates (context-table setup — an unrolled wide-field inverse
+        is a ~30k-op HLO whose compile dwarfs its execution, probe r5).
+        """
+        e = self.p - 2
+        nbits = e.bit_length()
+        bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)], _U32)
+
+        def body(i, st):
+            am, acc = st
+            acc = jnp.where(bits[i] == _U32(1), self.mont_mul(acc, am), acc)
+            return self.mont_mul(am, am), acc
+
+        _, acc = jax.lax.fori_loop(
+            0, nbits, body,
+            (self.to_mont(a), jnp.full_like(a, _U32(self.r))))
+        return self.from_mont(acc)
+
     # -- series / tables --------------------------------------------------
     def powers(self, base: int, count: int):
         """[base^0, base^1, ..., base^(count-1)] canonical, built on device

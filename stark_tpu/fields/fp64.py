@@ -259,6 +259,28 @@ class Fp64Goldilocks:
     def inv(self, a):
         return self.pow_static(a, self.p - 2)
 
+    def inv_rolled(self, a):
+        """Fermat inverse as a fori_loop (see fp.Fp.inv_rolled): O(1)
+        program size vs ~30k unrolled HLO ops — and the rolled body
+        needs NO chain_break scaffolding (each iteration is its own
+        compiled region, so XLA:CPU's deep-select-chain pathology never
+        forms)."""
+        e = self.p - 2
+        nbits = e.bit_length()
+        bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)],
+                           dtype=_U32)
+        ones = jnp.broadcast_to(
+            jnp.stack([jnp.zeros((), _U32), jnp.ones((), _U32)])
+            .reshape((2,) + (1,) * (a.ndim - 1)), a.shape)
+
+        def body(i, st):
+            am, acc = st
+            acc = jnp.where(bits[i] == _U32(1), self.mul(acc, am), acc)
+            return self.mul(am, am), acc
+
+        _, acc = jax.lax.fori_loop(0, nbits, body, (a, ones))
+        return acc
+
     # -- series / tables ---------------------------------------------------
     def powers(self, base: int, count: int):
         base = int(base) % self.p

@@ -124,6 +124,46 @@ def _elem_int(trace, i: int) -> int:
     return int(vals[0])
 
 
+@functools.lru_cache(maxsize=None)
+def _boundary_inv_prog(p: int, m: int):
+    """ONE compiled 1/(x - point) program per (field, domain size): the
+    point is an argument, the Fermat chain is the rolled fori_loop — so
+    every boundary point of every AIR at this size shares a compile.
+
+    Plain jax.jit on purpose: the rolled program is tiny (tracing is
+    ~ms, the XLA persistent cache covers the compile), and the export
+    path would COMMIT the outputs to a device — the sharded prove needs
+    these tables uncommitted so they replicate against sharded operands.
+    """
+    f = Fp.get(p)
+
+    def run(domain, point):
+        return f.inv_rolled(f.sub(domain, point))
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _zerofier_inv_prog(p: int, m: int, n: int, count: int):
+    """prod(x - excl[i]) / (x^n - 1) with excluded points as arguments;
+    program keyed on (field, domain, trace size, #excluded) only.
+    Plain jit, uncommitted outputs — see _boundary_inv_prog."""
+    f = Fp.get(p)
+
+    def run(domain, excl):
+        one = f.const(1)
+        if f.width > 1:
+            one = one[:, None]
+        xn = f.pow_static(domain, n)
+        mult = f.inv_rolled(f.sub(xn, one))
+        for i in range(count):
+            e = excl[..., i:i + 1] if f.width > 1 else excl[i]
+            mult = f.mul(mult, f.sub(domain, e))
+        return mult
+
+    return jax.jit(run)
+
+
 class _BaseContext:
     """Shared per-config tables: the LDE coset domain and x^N - 1
     inverses (every AIR's quotients need them)."""
@@ -146,25 +186,29 @@ class _BaseContext:
         return c[:, None] if self.fp.width > 1 else c
 
     def boundary_inv(self, point: int):
-        """1 / (x - point) on the LDE domain."""
-        f = self.fp
-        return jax.jit(lambda d: f.inv(f.sub(d, self._bc(point))))(self.domain)
+        """1 / (x - point) on the LDE domain.
+
+        The point rides as an ARGUMENT so one compiled program per
+        (p, M) serves every boundary point of every AIR; the inverse is
+        the rolled fori_loop chain — together they turn context setup
+        from the dominant wide-field compile cost (a fresh ~30k-op
+        unrolled-Fermat program per point, ~40 s ctx build at 2^12
+        Goldilocks) into a sub-second cached call (probe r5)."""
+        return _boundary_inv_prog(self.fp.p, self.M)(
+            self.domain, self._bc(point))
 
     def zerofier_inv_excluding(self, excluded: tuple[int, ...]):
         """prod(x - e for e in excluded) / (x^N - 1) on the LDE domain —
-        the transition-constraint multiplier."""
+        the transition-constraint multiplier.  Excluded points are
+        arguments; the program is keyed on (p, M, N, count) only."""
         f = self.fp
-        N = self.N
-
-        @jax.jit
-        def build(domain):
-            xn = f.pow_static(domain, N)
-            mult = f.inv(f.sub(xn, self._bc(1)))
-            for e in excluded:
-                mult = f.mul(mult, f.sub(domain, self._bc(e)))
-            return mult
-
-        return build(self.domain)
+        if f.width > 1:
+            stacked = f.array(list(excluded))  # (2, k)
+        else:
+            stacked = jnp.asarray([int(e) % f.p for e in excluded],
+                                  dtype=jnp.uint32)
+        return _zerofier_inv_prog(f.p, self.M, self.N,
+                                  len(excluded))(self.domain, stacked)
 
 
 # ---------------------------------------------------------------------------

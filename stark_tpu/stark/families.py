@@ -84,3 +84,24 @@ FAMILIES: dict[str, tuple[AirSpec, str]] = {
     "mimc5": (MIMC5, "x0"),
     "mimc5rc": (MIMC5RC, "x0"),
 }
+
+
+def build_air(name: str, secret: int, mimc_key: int = 777):
+    """Construct a prover-side AIR from its registry name + the secret
+    witness value — the single shared entry point for the CLI and the
+    prover daemon (stark_tpu.serve).  Returns None for the default
+    fibonacci-square family (prove() takes the secret as ``a1``)."""
+    if name == "fibonacci-square":
+        return None
+    if name == "mimc3":
+        from stark_tpu.stark.air import MimcAIR
+
+        return MimcAIR(x0=secret, k=mimc_key)
+    if name == "fibmul":
+        from stark_tpu.stark.air import FibMulAIR
+
+        return FibMulAIR(b0=secret)
+    if name in FAMILIES:
+        spec, secret_key = FAMILIES[name]
+        return spec(**{secret_key: secret})
+    raise ValueError(f"unknown AIR family {name!r}")

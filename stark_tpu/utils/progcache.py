@@ -61,6 +61,8 @@ def _cache_dir() -> str | None:
 _FINGERPRINT_EXCLUDE = {
     "cli.py",
     "__main__.py",
+    "__init__.py",  # cache wiring + re-exports only
+    "serve.py",     # daemon socket protocol
     os.path.join("utils", "tunnel.py"),
     os.path.join("utils", "regression.py"),
     os.path.join("utils", "logging.py"),
