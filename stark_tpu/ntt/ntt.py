@@ -54,10 +54,12 @@ def get_plan(p: int, n: int, inverse: bool = False):
 # Pallas fused-kernel envelope (validated on TPU v5e hardware):
 # n1, n2 >= 128 requires n >= 2^14; above 2^22 a sqrt(n) sub-transform
 # no longer fits the 16 MB scoped-VMEM limit (rows > 2048 OOM, and
-# Mosaic rejects sub-128-lane blocks), so larger sizes fall back to the
-# XLA four-step until a 3-step Pallas decomposition lands.
+# Mosaic rejects sub-128-lane blocks) — those sizes take the 3-step
+# decomposition (pallas_ntt._ThreeStepNTT: one outer XLA radix split,
+# inner rows on the fused 2-step kernels) up to 2^30.
 PALLAS_MIN = 1 << 14
 PALLAS_MAX = 1 << 22
+PALLAS3_MAX = 1 << 30
 
 
 class _AutoPlan:
@@ -77,7 +79,7 @@ class _AutoPlan:
     def __call__(self, x) -> jax.Array:
         p, n, inverse = self._key
         if (
-            PALLAS_MIN <= n <= PALLAS_MAX
+            PALLAS_MIN <= n <= PALLAS3_MAX
             and getattr(x, "ndim", 0) == 1
             and not isinstance(x, jax.core.Tracer)
         ):
@@ -86,6 +88,10 @@ class _AutoPlan:
             except Exception:
                 on_tpu = False
             if on_tpu:
+                if n > PALLAS_MAX:
+                    from stark_tpu.ntt.pallas_ntt import _plan3
+
+                    return _plan3(p, n, inverse, False)(x)
                 from stark_tpu.ntt.pallas_ntt import _plan as _pallas_plan
 
                 return _pallas_plan(p, n, inverse, False)(x)

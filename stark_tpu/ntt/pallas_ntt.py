@@ -240,11 +240,170 @@ class _PallasNTT:
                          self.rev1, self.rev2)
 
 
+@functools.lru_cache(maxsize=None)
+def _plan3(p: int, n: int, inverse: bool, interpret: bool,
+           max_rows_log: int = 11):
+    return _ThreeStepNTT(p, n, inverse, interpret, max_rows_log)
+
+
+class _ThreeStepNTT:
+    """n > 2^22: asymmetric split n = n1 * n2 with n1 = 2048 rows and a
+    LARGE n2 — the "3-step VMEM decomposition" the two-step plan's cap
+    comment promised (r4 VERDICT task 4).  ONE jitted program.
+
+    Same algebra and twiddle conventions as the two-step plan (j = j1*n2
+    + j2, k = k1 + n1*k2; output (n2, n1) flattens to natural order), so
+    NO final interleave pass exists — an (n0, m) -> (m, n0) interleave
+    measured 6.8 ms of an 8.4 ms transform at 2^23 (narrow-lane
+    transpose), sinking the first formulation of this plan.
+
+    The length-n2 sub-transform no longer fits VMEM (n2 > 2048), so the
+    DIT splits at block size b = 2048:
+
+      K1   (pallas) DIT_n1 over rows + *T            [rows 2048, lanes n2]
+      XLA  transpose (n1, n2) -> (n2, n1) + bitrev(n2) row-gather
+           (both dims >= 128: tile-aligned, bandwidth-speed)
+      K2a  (pallas) DIT stages l <= b — butterflies of a bitrev-input
+           DIT stay inside contiguous l-blocks, so each (b, lanes)
+           VMEM block is independent; twiddles are EXACTLY the packed
+           length-b tables (stage-l root of a length-n2 DIT = W^(n2/l)
+           = the length-b DIT's own stage-l root)
+      K2b  (XLA) the log2(n2/b) coarse stages (l = 2b..n2): contiguous
+           half-block slices at >= 8 MB granularity + ninv/from_mont
+
+    HBM passes at 2^26: gather 1 + K1 2 + transpose/gather 2 + K2a 2 +
+    K2b 2*4 -> ~15 vs the four-step's ~2*log2(n) = 52.
+    """
+
+    def __init__(self, p: int, n: int, inverse: bool, interpret: bool,
+                 max_rows_log: int = 11):
+        if not ntt_available(p, n):
+            raise ValueError(f"GF({p}) has no order-{n} subgroup")
+        R = 1 << max_rows_log
+        self.n1 = R
+        self.n2 = n // R
+        if self.n1 < LANES or self.n2 < LANES:
+            raise ValueError(
+                f"3-step plan needs n >= 2^{2 * max_rows_log}; use the "
+                f"two-step or XLA plan for n = 2^{n.bit_length() - 1}")
+        self.b = min(R, self.n2)
+        self.a = self.n2 // self.b
+        self.p = p
+        self.n = n
+        self.inverse = inverse
+        self.interpret = interpret
+        self.fp = fp = Fp.get(p)
+        w = root_of_unity(p, n)
+        if inverse:
+            w = pow(w, p - 2, p)
+        n1, n2, b = self.n1, self.n2, self.b
+        self.lanes = LANES
+        self.tws1 = jnp.asarray(
+            _dit_twiddles_packed(p, n1, pow(w, n2, p), fp.r))
+        w2 = pow(w, n1, p)                       # order-n2 root
+        self.tws2a = jnp.asarray(
+            _dit_twiddles_packed(p, b, pow(w2, self.a, p), fp.r))
+        # coarse-stage (l/2,) mont twiddle columns for l = 2b .. n2
+        self.tws2b = []
+        l = 2 * b
+        while l <= n2:
+            wl = pow(w2, n2 // l, p)
+            seg = np.empty(l // 2, dtype=np.uint32)
+            val = fp.r % p
+            for j in range(l // 2):
+                seg[j] = val
+                val = val * wl % p
+            self.tws2b.append(jnp.asarray(seg))
+            l *= 2
+        self.rev1 = jnp.asarray(_bitrev(n1))
+        self.rev2 = jnp.asarray(_bitrev(n2))
+        self.table = jnp.asarray(fp.host_geometric_table(
+            fp.host_powers(w, n1), n2, mont=True))
+        self.ninv_mont = pow(n, p - 2, p) * fp.r % p
+        from stark_tpu.utils.progcache import cached_jit
+
+        self._jit = cached_jit(self._run, "ntt3-fused",
+                               (p, n, inverse, max_rows_log))
+
+    def _k1_kernel(self, x_ref, t_ref, tws_ref, o_ref):
+        fp = self.fp
+        ym = fp.to_mont(x_ref[:])                   # (n1, lanes)
+        ym = _dit_stages(fp, ym, tws_ref, self.n1, self.lanes)
+        o_ref[:] = fp.mont_mul(ym, t_ref[:])        # * w^(j2 k1), mont
+
+    def _k2a_kernel(self, x_ref, tws_ref, o_ref):
+        # mont in/out: fine+mid stages (l <= b) of the length-n2 DIT
+        o_ref[0] = _dit_stages(self.fp, x_ref[0], tws_ref, self.b,
+                               self.lanes)
+
+    def _run(self, x, table, tws1, tws2a, rev1, rev2, *tws2b):
+        fp = self.fp
+        n1, n2, a, b, lanes = self.n1, self.n2, self.a, self.b, self.lanes
+        xg = jnp.take(x.reshape(n1, n2), rev1, axis=0)
+        c = pl.pallas_call(
+            self._k1_kernel,
+            out_shape=jax.ShapeDtypeStruct((n1, n2), _U32),
+            grid=(n2 // lanes,),
+            in_specs=[
+                pl.BlockSpec((n1, lanes), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n1, lanes), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tws1.shape[0], 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n1, lanes), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            interpret=self.interpret,
+        )(xg, table, tws1)
+        ct = jnp.take(c.T, rev2, axis=0).reshape(a, b, n1)
+        d = pl.pallas_call(
+            self._k2a_kernel,
+            out_shape=jax.ShapeDtypeStruct((a, b, n1), _U32),
+            grid=(a, n1 // lanes),
+            in_specs=[
+                pl.BlockSpec((1, b, lanes), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tws2a.shape[0], 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, b, lanes), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=self.interpret,
+        )(ct, tws2a)
+        # K2b: coarse stages l = 2b .. n2 (contiguous half-block slices)
+        xm = d.reshape(n2, n1)
+        l = 2 * b
+        for tw in tws2b:
+            lh = l // 2
+            v = xm.reshape(n2 // l, l, n1)
+            topv, botv = v[:, :lh], v[:, lh:]
+            botw = fp.mont_mul(tw[None, :, None], botv)
+            xm = jnp.concatenate(
+                [fp.add(topv, botw), fp.sub(topv, botw)],
+                axis=1).reshape(n2, n1)
+            l *= 2
+        if self.inverse:
+            xm = fp.mont_mul(xm, _U32(self.ninv_mont))
+        return fp.from_mont(xm).reshape(self.n)  # (n2, n1) == natural
+
+    def __call__(self, x) -> jax.Array:
+        return self._jit(x, self.table, self.tws1, self.tws2a,
+                         self.rev1, self.rev2, *self.tws2b)
+
+
 def pallas_ntt(x, p: int, interpret: bool = False):
     """Forward NTT via fused Pallas kernels (natural order, identical
-    output to stark_tpu.ntt.ntt)."""
-    return _plan(p, int(x.shape[-1]), False, interpret)(x)
+    output to stark_tpu.ntt.ntt); sizes above 2^22 take the 3-step
+    decomposition."""
+    n = int(x.shape[-1])
+    if n > (1 << 22):
+        return _plan3(p, n, False, interpret)(x)
+    return _plan(p, n, False, interpret)(x)
 
 
 def pallas_intt(x, p: int, interpret: bool = False):
-    return _plan(p, int(x.shape[-1]), True, interpret)(x)
+    n = int(x.shape[-1])
+    if n > (1 << 22):
+        return _plan3(p, n, True, interpret)(x)
+    return _plan(p, n, True, interpret)(x)

@@ -56,6 +56,41 @@ class TestPallasNTT:
         np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
+class TestThreeStepNTT:
+    """The >2^22 decomposition (pallas_ntt._ThreeStepNTT), exercised at
+    CPU-affordable sizes by shrinking the kernel row cap: n = 2^16 with
+    max_rows_log=7 gives the same K1 + K2a(block-local) + K2b(coarse)
+    composition the 2^24/2^26 plans use (a = n2/b > 1 in every case)."""
+
+    @pytest.mark.parametrize("log_n,rows", [(15, 7), (16, 7), (17, 8)])
+    def test_forward_matches_xla(self, log_n, rows):
+        from stark_tpu.ntt.ntt import get_stockham_plan
+        from stark_tpu.ntt.pallas_ntt import _plan3
+
+        x = jnp.asarray(_rand(1 << log_n, salt=40 + log_n))
+        want = np.asarray(get_stockham_plan(P, 1 << log_n, False)(x))
+        got = np.asarray(_plan3(P, 1 << log_n, False, True, rows)(x))
+        np.testing.assert_array_equal(got, want)
+
+    def test_inverse_matches_xla(self):
+        from stark_tpu.ntt.ntt import get_stockham_plan
+        from stark_tpu.ntt.pallas_ntt import _plan3
+
+        n = 1 << 16
+        x = jnp.asarray(_rand(n, salt=44))
+        want = np.asarray(get_stockham_plan(P, n, True)(x))
+        got = np.asarray(_plan3(P, n, True, True, 7)(x))
+        np.testing.assert_array_equal(got, want)
+
+    def test_roundtrip(self):
+        from stark_tpu.ntt.pallas_ntt import _plan3
+
+        n = 1 << 16
+        x = jnp.asarray(_rand(n, salt=45))
+        back = _plan3(P, n, True, True, 7)(_plan3(P, n, False, True, 7)(x))
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
 def _bitrev_tree(values, interpret=True):
     """MerkleTree over the bitrev Pallas build (interpret mode on CPU)."""
     from stark_tpu.hash.pallas_sha import build_tree_bitrev
