@@ -193,6 +193,23 @@ def main():
                "tunnel_fallback": platform_guard == "cpu"}
     f = Fp.get(P)
 
+    # -- 0. tunnel RTT measured IN-RUN (r4 Weak #4/#5: wall numbers mixed
+    # intrinsic time with tunnel drift and nothing in the artifact could
+    # separate them).  One tiny jit + 4-byte fetch, min-of-9: every
+    # dispatch-bound wall below can be read against this floor.
+    _rtt_step = jax.jit(lambda v: v + 1)
+    _rtt_x = jax.device_put(jnp.ones(8, jnp.uint32), dev)
+    np.asarray(_rtt_step(_rtt_x))[:1]
+    _rtts = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        _ = np.asarray(_rtt_step(_rtt_x))[:1]
+        _rtts.append(time.perf_counter() - t0)
+    results["tunnel_rtt_ms"] = min(_rtts) * 1e3
+    results["tunnel_rtt_median_ms"] = statistics.median(_rtts) * 1e3
+    log(f"tunnel RTT (tiny jit + 4-byte fetch): {min(_rtts)*1e3:.1f} ms min "
+        f"(median {statistics.median(_rtts)*1e3:.1f})")
+
     def dev_rand(n, salt=1):
         """Pseudo-random field elements generated ON device (the tunneled
         TPU hangs on large host transfers; nothing big ever crosses)."""
@@ -312,6 +329,33 @@ def main():
     log(f"FRI commit+decommit deg 2^{log_deg} blowup {blowup}: "
         f"{t_fri*1e3:.1f} ms min (median {t_fri_med*1e3:.1f}, "
         f"spread {t_fri_spread*1e3:.1f})")
+
+    # synced per-stage split (r4 Weak #4: the FRI wall swung 181->263 ms
+    # across same-code runs with no split to localize the drift; the
+    # prove has one, the FRI bench now does too).  A 4-byte fetch forces
+    # each stage boundary — block_until_ready does not truly await
+    # completion through the tunnel (probe_ntt3_r5 finding).
+    def fri_split():
+        ch = Channel(P)
+        t0 = time.perf_counter()
+        pr = fri_commit(cw, P, 5, ch, num_folds=log_deg)
+        np.asarray(pr.fri_layers[-1].reshape(-1)[:1])
+        t_commit = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        decommit_fri(16, (blowup << log_deg) - 1, pr.fri_layers,
+                     pr.fri_merkles, ch)
+        t_decommit = time.perf_counter() - t0
+        return t_commit, t_decommit
+
+    fri_split()  # warm the synced variant
+    splits = [fri_split() for _ in range(3)]
+    c_min = min(s[0] for s in splits)
+    d_min = min(s[1] for s in splits)
+    results[f"fri_2e{log_deg}_commit_ms"] = c_min * 1e3
+    results[f"fri_2e{log_deg}_decommit_ms"] = d_min * 1e3
+    log(f"  FRI split (synced, min of 3): commit {c_min*1e3:.1f} ms, "
+        f"decommit {d_min*1e3:.1f} ms; tunnel RTT "
+        f"{results['tunnel_rtt_ms']:.1f} ms/sync")
 
     # -- 5. full STARK prove (always: warm wall time at 2^14) --------------
     from stark_tpu.stark import prove, verify
@@ -434,23 +478,31 @@ def main():
             f"(median {t_pv_med*1e3:.0f}; verified)")
 
     # -- big-trace ladder (BASELINE north star) ---------------------------
-    # measured on hardware by benches/probe_bigtrace_r4.py (2^18..2^26
-    # with pruned Merkle storage); parsed into the artifact so every
-    # BENCH_rN carries the ladder without re-paying its compile budget
-    big_path = "benches/probe_bigtrace_r4.txt"
-    if not args.quick and os.path.exists(big_path):
+    # measured on hardware by benches/probe_bigtrace_r5.py (min-of-3 warm
+    # walls — the r4 ladder's mean-of-2 at 2^24 violated the repo's own
+    # estimator policy); parsed into the artifact so every BENCH_rN
+    # carries the ladder without re-paying its compile budget.  Falls
+    # back to the r4 artifact for any size the r5 probe lacks.
+    if not args.quick:
         import re as _re
 
         ladder = {}
-        with open(big_path) as fh:
-            for line in fh:
-                m = _re.search(
-                    r"2\^(\d+) rows warm: (\d+) ms .*verified=True", line)
-                if m:
-                    ladder[f"2^{m.group(1)}"] = int(m.group(2))
+        for big_path, rex in (
+            ("benches/probe_bigtrace_r4.txt",
+             r"2\^(\d+) rows warm: (\d+) ms .*verified=True"),
+            ("benches/probe_bigtrace_r5.txt",
+             r"2\^(\d+) rows warm: (\d+) ms min .*verified=True"),
+        ):
+            if not os.path.exists(big_path):
+                continue
+            with open(big_path) as fh:
+                for line in fh:
+                    m = _re.search(rex, line)
+                    if m:  # later (r5) entries overwrite r4 ones
+                        ladder[f"2^{m.group(1)}"] = int(m.group(2))
         if ladder:
             results["bigtrace_ladder_warm_ms"] = ladder
-            log(f"  big-trace ladder (probe artifact): {ladder}")
+            log(f"  big-trace ladder (probe artifacts): {ladder}")
 
     # -- virtual-mesh scaling table (model vs measured side by side) ------
     # measured by benches/probe_scaling.py on the 8-virtual-device CPU
@@ -473,6 +525,57 @@ def main():
             log(f"  scaling (virtual mesh) devices={row['devices']}: "
                 f"{row['warm_min_ms']:.0f} ms min, collectives "
                 f"{row.get('collectives_ntt')}")
+
+    # -- 9. serving path: cold CLIENT against a resident daemon -----------
+    # The framework's answer to per-process program acquisition
+    # (stark_tpu/serve.py): a daemon owns the compiled programs, clients
+    # are thin.  Spawn one (inherits this run's warm disk caches), prove
+    # from a FRESH subprocess, record the end-to-end client wall — the
+    # "first prove" a CLI user actually experiences with serving on.
+    if not args.quick:
+        import subprocess as _sp
+        import tempfile
+
+        from stark_tpu import serve
+
+        sock = os.path.join(tempfile.gettempdir(),
+                            f"stark_bench_{os.getpid()}.sock")
+        try:
+            t0 = time.perf_counter()
+            serve.ensure_daemon(sock, wait_s=900,
+                                extra_args=("--warm", str(log2_tr)))
+            t_up = time.perf_counter() - t0
+            results["daemon_startup_warm_s"] = t_up
+            client_src = (
+                "import sys, time\n"
+                "sys.path.insert(0, '.')\n"
+                "from stark_tpu import serve\n"
+                "from stark_tpu.config import ProverConfig\n"
+                f"cfg = ProverConfig(log2_trace={log2_tr}, blowup=4, "
+                "num_queries=16)\n"
+                "t0 = time.perf_counter()\n"
+                f"p = serve.daemon_prove(cfg, socket_path={sock!r})\n"
+                "print('CLIENT_MS', (time.perf_counter() - t0) * 1e3)\n")
+            walls = []
+            for _ in range(3):
+                cl = _sp.run([sys.executable, "-c", client_src],
+                             capture_output=True, text=True, timeout=600)
+                for ln in (cl.stdout or "").splitlines():
+                    if ln.startswith("CLIENT_MS"):
+                        walls.append(float(ln.split()[1]))
+            if walls:
+                results[f"daemon_client_prove_2e{log2_tr}_ms"] = min(walls)
+                log(f"daemon: startup+warm {t_up:.1f} s (one-time); cold "
+                    f"CLIENT prove 2^{log2_tr}: {min(walls):.0f} ms min of "
+                    f"{[round(w) for w in sorted(walls)]} — vs "
+                    f"{t_first:.0f} s per-process first prove")
+        except Exception as e:
+            log(f"daemon bench skipped: {type(e).__name__}: {e}")
+        finally:
+            try:
+                serve.request({"op": "shutdown"}, sock, timeout=30)
+            except Exception:
+                pass
 
     os.makedirs("benches", exist_ok=True)
     # quick/CPU runs must never clobber the TPU record (latest.json feeds

@@ -36,13 +36,19 @@ from stark_tpu.stark.trace import _trace_poly_jit
 _U32 = jnp.uint32
 
 
-# -- batched building blocks (leading batch axis B) --------------------------
-def _batched_levels(values):
+# -- batched building blocks (leading batch axis B; wide 64-bit fields
+# carry their limb plane LEADING, so batched wide values are (2, B, n)
+# and the batch is the middle axis — field ops see lanes (B, n)) --------
+def _batched_levels(values, wide: bool = False):
     """Merkle levels over axis -1: values (B, n) -> [(B, n, 8), ...].
-    Multi-column codewords arrive (B, C, n): leaf i is the row hash
+    Wide values arrive (2, B, n): leaf i hashes the 8-byte BE element
+    (hi, lo planes), exactly as the unbatched path.  Multi-column u32
+    codewords arrive (B, C, n): leaf i is the row hash
     H(col_0[i] || ... || col_{C-1}[i]) exactly as MerkleTree.from_columns
     (the lane shape (B, n) rides through sha256_row_leaves)."""
-    if values.ndim == 3:  # (B, C, n) -> row leaves (B, n, 8)
+    if wide:  # (2, B, n) -> (B, n, 8)
+        level = sha256_u64_leaves(values[0], values[1])
+    elif values.ndim == 3:  # (B, C, n) -> row leaves (B, n, 8)
         from stark_tpu.hash.sha256_jax import sha256_row_leaves
 
         # wide=False: the lane shape (B, n) with B == 2 would otherwise
@@ -58,12 +64,20 @@ def _batched_levels(values):
 
 
 def _batched_fold(f: Fp, evals, beta, inv_dom):
-    """FRI fold over axis -1: evals (B, m), beta (B,), inv_dom (m/2,)."""
+    """FRI fold over axis -1: evals (B, m) [wide: (2, B, m)], beta (B,)
+    [wide: (B, 2) as vmapped draws produce], inv_dom (m/2,) [(2, m/2)]."""
     m = evals.shape[-1]
-    v = evals[:, : m // 2]
-    s = evals[:, m // 2 :]
-    inv2 = _U32(pow(2, f.p - 2, f.p))
-    odd = f.mul(f.mul(f.sub(v, s), inv_dom[None, :]), beta[:, None])
+    v = evals[..., : m // 2]
+    s = evals[..., m // 2 :]
+    if f.width > 1:
+        inv2 = f.const(pow(2, f.p - 2, f.p))[:, None, None]
+        bb = jnp.moveaxis(beta, -1, 0)[..., None]  # (B, 2) -> (2, B, 1)
+        idm = inv_dom[:, None, :]
+    else:
+        inv2 = _U32(pow(2, f.p - 2, f.p))
+        bb = beta[:, None]
+        idm = inv_dom[None, :]
+    odd = f.mul(f.mul(f.sub(v, s), idm), bb)
     return f.mul(f.add(f.add(v, s), odd), inv2)
 
 
@@ -88,12 +102,18 @@ def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
 
     p = cfg.modulus
     f = Fp.get(p)
+    wide = f.width > 1
     N = cfg.trace_domain_size
     M = cfg.eval_domain_size
     h = cfg.offset
     air = _rebuild_air(*air_key)
     ncols = getattr(air, "num_columns", 1)
-    lead = (batch, ncols) if ncols > 1 else (batch,)
+    if ncols > 1:
+        lead = (batch, ncols)
+    elif wide:
+        lead = (2, batch)  # limb plane leading, batch middle
+    else:
+        lead = (batch,)
     trace_poly = _trace_poly_jit(p, N, lead)
     plan_f = get_plan(p, M, False)
     num_folds = air.num_folds(cfg)
@@ -133,46 +153,85 @@ def _batch_commit_jit(air_key, cfg: ProverConfig, batch: int):
         size //= 2
         off = off * off % p
 
-    def run(traces, publics_dev):
+    def head_body(traces):
         # trace polynomial + LDE, batched over (B[, C]) leading axes
-        coeffs = trace_poly(traces)                        # (B[, C], N)
+        # (wide: (2, B) — limb plane leads, batch rides the middle);
+        # then trace Merkle + FS absorb + alpha draws
+        coeffs = trace_poly(traces)                        # (*lead, N)
         shifted = f.mul(coeffs, off_pows)
         padded = jnp.zeros(lead + (M,), _U32).at[..., :N].set(shifted)
         f_evals = plan_f(padded)                           # batched stages
-
-        # trace Merkle + FS absorb + alpha draws, batched over proofs
-        t_levels = _batched_levels(f_evals)
-        roots = [t_levels[-1][:, 0]]                       # (B, 8)
-        state = jax.vmap(lambda d: absorb_digest(None, d))(roots[0])
+        t_levels = _batched_levels(f_evals, wide=wide)
+        state = jax.vmap(lambda d: absorb_digest(None, d))(
+            t_levels[-1][:, 0])
         alphas = []
         for _ in range(air.num_alphas):
             a, state = jax.vmap(
                 lambda s: draw_field_element(s, p)
             )(state)
-            alphas.append(a)
-        draws = list(alphas)
+            alphas.append(a)                               # (B,) | (B, 2)
+        return f_evals, t_levels, state, alphas
 
-        # composition (vmap the per-proof composer)
-        al_arr = jnp.stack(alphas, axis=1)                 # (B, k)
-        cp = jax.vmap(composer)(f_evals, al_arr, publics_dev)
+    def tail_body(f_evals, state, alphas, publics_dev):
+        # composition (vmap the per-proof composer; wide operands have
+        # the batch on axis 1, draws/publics have it leading)
+        al_arr = jnp.stack(alphas, axis=1)                 # (B, k[, 2])
+        cp = jax.vmap(composer,
+                      in_axes=(1 if wide else 0, 0, 0),
+                      out_axes=1 if wide else 0)(f_evals, al_arr,
+                                                 publics_dev)
+        if wide:
+            # many folds in ONE program (unlike the unbatched path's
+            # per-layer jits): the wide carry-select chains need
+            # explicit barriers or XLA:CPU's LLVM backend compiles for
+            # hours (fields/fp64.py chain-break note)
+            cp = f.chain_break(cp)
 
         # FRI commit chain, batched
         layers = [cp]
-        f_levels_all = [_batched_levels(cp)]
-        roots.append(f_levels_all[0][-1][:, 0])
-        state = jax.vmap(absorb_digest)(state, roots[-1])
+        f_levels_all = [_batched_levels(cp, wide=wide)]
+        fri_roots = [f_levels_all[0][-1][:, 0]]
+        state = jax.vmap(absorb_digest)(state, fri_roots[-1])
+        betas = []
         evals = cp
         for k in range(num_folds):
             beta, state = jax.vmap(lambda s: draw_field_element(s, p))(state)
-            draws.append(beta)
+            betas.append(beta)
             evals = _batched_fold(f, evals, beta, inv_doms[k])
+            if wide:
+                evals = f.chain_break(evals)
             layers.append(evals)
-            lv = _batched_levels(evals)
+            lv = _batched_levels(evals, wide=wide)
             f_levels_all.append(lv)
-            roots.append(lv[-1][:, 0])
-            state = jax.vmap(absorb_digest)(state, roots[-1])
+            fri_roots.append(lv[-1][:, 0])
+            state = jax.vmap(absorb_digest)(state, fri_roots[-1])
+        return layers, f_levels_all, fri_roots, betas
 
-        return f_evals, t_levels, layers, f_levels_all, roots, draws
+    def _assemble(f_evals, t_levels, alphas, tail_out):
+        layers, f_levels_all, fri_roots, betas = tail_out
+        roots = [t_levels[-1][:, 0]] + list(fri_roots)
+        return (f_evals, t_levels, list(layers), list(f_levels_all),
+                roots, list(alphas) + list(betas))
+
+    if wide:
+        # TWO programs, split at the draws/compose boundary: the fused
+        # single program is MISCOMPILED by XLA:CPU for wide fields — it
+        # executes forever even at M = 64 while every piece and both
+        # halves run in milliseconds (r5 bisect, /tmp/wide9-11 probes).
+        # Two dispatches cost microseconds; transcripts are unchanged.
+        head_j, tail_j = jax.jit(head_body), jax.jit(tail_body)
+
+        def run_split(traces, publics_dev):
+            f_evals, t_levels, state, alphas = head_j(traces)
+            tail_out = tail_j(f_evals, state, alphas, publics_dev)
+            return _assemble(f_evals, t_levels, alphas, tail_out)
+
+        return run_split
+
+    def run(traces, publics_dev):
+        f_evals, t_levels, state, alphas = head_body(traces)
+        tail_out = tail_body(f_evals, state, alphas, publics_dev)
+        return _assemble(f_evals, t_levels, alphas, tail_out)
 
     return jax.jit(run)
 
@@ -198,11 +257,13 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
     if any(a.name != air0.name or _family_param(a) != _family_param(air0)
            for a in airs):
         raise ValueError("prove_batch needs AIRs of one family/parameterization")
-    if Fp.get(cfg.modulus).width != 1:
-        raise ValueError(
-            "prove_batch currently supports < 2^32 moduli"
-        )
+    f = Fp.get(cfg.modulus)
+    wide = f.width > 1
     ncols = getattr(air0, "num_columns", 1)
+    if wide and ncols > 1:
+        raise ValueError(
+            "prove_batch supports wide (64-bit) fields for single-column "
+            "AIRs only; batch multi-column wide statements sequentially")
     B = len(airs)
     p = cfg.modulus
     M = cfg.eval_domain_size
@@ -210,8 +271,11 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
     offsets = [s * b for s in air0.shifts]
     max_off = max(offsets)
 
-    traces = jnp.stack([a.build_trace(cfg) for a in airs])  # (B[, C], T)
-    publics = [a.publics(tr) for a, tr in zip(airs, traces)]
+    per_trace = [a.build_trace(cfg) for a in airs]   # each (T) | (2, T)
+    publics = [a.publics(tr) for a, tr in zip(airs, per_trace)]
+    traces = jnp.stack(per_trace)                    # (B[, C | 2], T)
+    if wide:
+        traces = jnp.moveaxis(traces, 1, 0)          # (2, B, T)
     if isinstance(air0, AirSpec):
         pub_order = [bd.public for bd in air0.boundaries]
         pub_rows = [[pb[k] % p for k in pub_order] for pb in publics]
@@ -225,7 +289,14 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
             [list(pb.values())[0] % p, list(pb.values())[1] % p]
             for pb in publics
         ]
-    publics_dev = jnp.asarray(pub_rows, dtype=_U32)
+    if wide:
+        # (B, n_pub, 2): vmapped composers get (n_pub, 2) rows whose
+        # entries are (hi, lo) limb pairs
+        publics_dev = jnp.asarray(
+            [[[v >> 32, v & 0xFFFFFFFF] for v in row] for row in pub_rows],
+            dtype=_U32)
+    else:
+        publics_dev = jnp.asarray(pub_rows, dtype=_U32)
 
     air_key = (air0.name, _family_param(air0))
     f_evals, t_levels, layers, f_levels_all, roots, draws = _batch_commit_jit(
@@ -237,6 +308,13 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
         (roots, draws, layers[-1])
     )
 
+    def _draw_int(d, i) -> int:
+        """Host int of proof i's draw — (B,) u32 or (B, 2) limb pairs."""
+        row = np.asarray(d[i])
+        if row.ndim:
+            return int(row[0]) << 32 | int(row[1])
+        return int(row)
+
     proofs = []
     num_folds = air0.num_folds(cfg)
     for i in range(B):
@@ -245,30 +323,36 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
         ch.send(np.asarray(roots_h[0][i]).astype(">u4").tobytes().hex().encode())
         for k in range(air0.num_alphas):
             el = ch.receive_random_field_element()
-            if el.value != int(draws_h[k][i]):
+            if el.value != _draw_int(draws_h[k], i):
                 raise RuntimeError(
                     "batched device Fiat-Shamir diverged from host transcript "
-                    f"(alpha {k}: {int(draws_h[k][i])} != {el.value})"
+                    f"(alpha {k}: {_draw_int(draws_h[k], i)} != {el.value})"
                 )
         ch.mark_phase("fri-commit")
         ch.send(np.asarray(roots_h[1][i]).astype(">u4").tobytes().hex().encode())
         for k in range(num_folds):
             el = ch.receive_random_field_element()
-            if el.value != int(draws_h[air0.num_alphas + k][i]):
+            if el.value != _draw_int(draws_h[air0.num_alphas + k], i):
                 raise RuntimeError(
                     "batched device Fiat-Shamir diverged from host transcript "
-                    f"(beta {k}: {int(draws_h[air0.num_alphas + k][i])} != {el.value})"
+                    f"(beta {k}: {_draw_int(draws_h[air0.num_alphas + k], i)}"
+                    f" != {el.value})"
                 )
             ch.send(
                 np.asarray(roots_h[2 + k][i]).astype(">u4").tobytes().hex().encode()
             )
-        finals_i = np.asarray(finals_h[i])
+        fh = np.asarray(finals_h)
+        if wide:  # (2, B, m) -> u64 lane values of proof i
+            finals_i = (fh[0, i].astype(np.uint64) << np.uint64(32)
+                        | fh[1, i].astype(np.uint64))
+        else:
+            finals_i = fh[i]
         if not np.all(finals_i == finals_i[0]):
             raise ValueError(
                 f"proof {i}: final FRI layer is not constant — composition "
                 "degree exceeds 2^num_folds (proof would be rejected)"
             )
-        final_value = int(finals_h[i][0])
+        final_value = int(finals_i[0])
         ch.send(final_value.to_bytes(8, "big"))
 
         # per-proof query phase via the standard (unbatched) machinery:
@@ -280,7 +364,7 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
             MerkleTree(None, device_levels=tuple(lv[i] for lv in levels))
             for levels in f_levels_all
         ]
-        fri_layers = [layer[i] for layer in layers]
+        fri_layers = [layer[:, i] if wide else layer[i] for layer in layers]
         from stark_tpu.fri.commit import (
             collect_query_arrays,
             emit_plan,
@@ -295,6 +379,8 @@ def prove_batch(cfg: ProverConfig, airs: list) -> list[StarkProof]:
         # C == 1 byte-identical to a single value send
         if ncols > 1:
             cols = tuple(open_layout(f_evals[i, c]) for c in range(ncols))
+        elif wide:
+            cols = (open_layout(f_evals[:, i]),)  # (2, M) -> (M, 2) rows
         else:
             cols = (open_layout(f_evals[i]),)
         t_lv = [lv[i] for lv in t_levels[:-1]]

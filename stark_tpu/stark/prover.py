@@ -403,11 +403,11 @@ def _use_mega(M: int, mesh, precise: bool, values=None,
         return False
     if _os.environ.get("STARK_TPU_FORCE_MEGA"):
         return True
-    if width != 1:
-        # wide-field (Goldilocks) mega: measured 2026-08-20, the
-        # chain-break-laden program costs ~55 s of load/compile per
-        # process even cache-warm for a ~5 ms warm-wall gain over the
-        # multi-launch path (probe_cold_r4.txt warmcache goldilocks10)
+    if width != 1 and _os.environ.get("STARK_TPU_NO_WIDE_MEGA"):
+        # escape hatch: r4 gated wide mega off entirely (55 s warm-cache
+        # load for a ~5 ms gain, probe_cold_r4).  r5 re-enabled it after
+        # the rolled-inverse context tables and per-phase chain breaks
+        # shrank the program (probe_widemega_r5.txt re-measures).
         return False
     # TPU-only by default: the mega program's payoff is tunnel launch
     # latency; on CPU it only buys a giant XLA compile (a wide-field
@@ -529,6 +529,11 @@ def _get_mega_fn(cfg, air, ctx, setup, ncols: int, width: int,
             payloads.append(v)
         cp = ctx._compose_tables(f_evals, _alphas_arr(tuple(alphas), p),
                                  *comp_extras)
+        if width == 2:
+            # ONE program holds the whole post-LDE pipeline here; the
+            # wide carry-select chains need a barrier per phase or the
+            # XLA:CPU LLVM backend compiles for hours (fields/fp64.py)
+            cp = ctx.fp.chain_break(cp)
         cw_levels = cw_build(cp)
         state = absorb_digest(state, cw_levels[-1][0])
         payloads.append(cw_levels[-1][0])
@@ -538,6 +543,8 @@ def _get_mega_fn(cfg, air, ctx, setup, ncols: int, width: int,
             beta, state = draw_field_element(state, p)
             payloads.append(beta)
             evals = folds[i](evals, beta, inv_doms[i])
+            if width == 2:
+                evals = ctx.fp.chain_break(evals)
             lv = layer_builds[i](evals)
             state = absorb_digest(state, lv[-1][0])
             payloads.append(lv[-1][0])
