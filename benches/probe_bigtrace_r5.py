@@ -78,13 +78,15 @@ Structural bound, one chip: the leaf-digest level of a 2^28-leaf tree is
 2^28 x 32 B = 8 GiB as ONE array; with the 1 GiB value array and the
 next node level (4 GiB) live simultaneously, the trace commit alone
 needs >= 13 GiB before any other state — pruned storage bounds what is
-RETAINED, not the transient leaf level.  Fitting 2^26 rows on 16 GiB
-needs chunked subtree hashing (sequential 1/16-subtree builds through
-the bitrev layout) or a mesh: prove(mesh=) shards the domain and every
-per-chip level is 1/N of these sizes (dist/merkle.py) — the sanctioned
-path at this size.  2^25 rows (LDE 2^27: 4 GiB leaf digests) is the
-single-chip ceiling — see ladder above.
+RETAINED, not the transient leaf level.  2^25 rows (LDE 2^27) also
+exhausts HBM (measured above): leaf digests 4 GiB + node level 2 GiB +
+values/LDE working set + retained FRI layers (~1 GiB) + per-layer trees
+crosses 15.75 GiB during the FRI ladder.  2^24 rows is the single-chip
+ceiling of this implementation.  Fitting 2^25+ needs chunked subtree
+hashing (sequential 1/2^k-subtree builds through the bitrev layout) or
+a mesh: prove(mesh=) shards the domain and every per-chip level is 1/N
+of these sizes (dist/merkle.py) — the sanctioned path at those sizes.
 """
+log("PROBE-BIGTRACE-R5 DONE")
 with open(OUT, "a") as fh:
     fh.write(ACCOUNTING)
-log("PROBE-BIGTRACE-R5 DONE")

@@ -403,11 +403,14 @@ def _use_mega(M: int, mesh, precise: bool, values=None,
         return False
     if _os.environ.get("STARK_TPU_FORCE_MEGA"):
         return True
-    if width != 1 and _os.environ.get("STARK_TPU_NO_WIDE_MEGA"):
-        # escape hatch: r4 gated wide mega off entirely (55 s warm-cache
-        # load for a ~5 ms gain, probe_cold_r4).  r5 re-enabled it after
-        # the rolled-inverse context tables and per-phase chain breaks
-        # shrank the program (probe_widemega_r5.txt re-measures).
+    if width != 1 and not _os.environ.get("STARK_TPU_WIDE_MEGA"):
+        # wide-field (Goldilocks) mega: re-measured on hardware after
+        # the r5 rolled-inverse tables + chain breaks
+        # (benches/probe_widemega_r5.txt): warm walls are IDENTICAL to
+        # the multi-launch single-fetch path (79 vs 80 ms min) while
+        # first-prove costs 151.9 s vs 25.2 s — the launch count the
+        # mega removes is not the wide path's bottleneck.  Off by
+        # default; STARK_TPU_WIDE_MEGA=1 opts in.
         return False
     # TPU-only by default: the mega program's payoff is tunnel launch
     # latency; on CPU it only buys a giant XLA compile (a wide-field
