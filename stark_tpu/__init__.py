@@ -85,11 +85,19 @@ if not _os.environ.get("STARK_TPU_NO_COMPILE_CACHE"):
     # jax's 5 s default, so warm starts re-paid ~100 s of small compiles
     # (measured 2026-08-20: no-mega first prove 113 s with a fully warm
     # program cache; mega first 11 s because its ONE big program did
-    # persist).  Threshold 0, not 1: a warm 2^14 prove still re-paid
-    # ~11 sub-second jit_reshape compiles (~0.5 s each through the
-    # tunneled compile service) every process under threshold 1
-    # (benches/probe_warmcompile_r5).  Disk cost is irrelevant here.
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    # persist).  TPU sessions use threshold 0: a warm 2^14 prove still
+    # re-paid ~11 sub-second jit_reshape compiles (~0.5 s each through
+    # the tunneled compile service) under threshold 1
+    # (benches/probe_warmcompile_r5).  CPU-default runs (tests, dryrun)
+    # keep threshold 1: serializing certain sub-second XLA:CPU sharded
+    # executables SEGFAULTS in put_executable_and_time (r5 suite crash
+    # at tests ~46%), and sub-second local compiles are cheap anyway.
+    # STARK_TPU_CACHE_WRITE_THRESHOLD overrides (tests set it huge so
+    # the suite never writes entries — see tests/conftest.py)
+    _jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        int(_os.environ.get("STARK_TPU_CACHE_WRITE_THRESHOLD",
+                            "1" if _is_cpu_default() else "0")))
     # Also persist the backend-specific (Mosaic/Pallas) compilation
     # artifacts: measured on the tunneled v5e (benches/probe_compile_r3
     # session, 2026-08-19), a 2^21-node SHA kernel's second-process

@@ -22,3 +22,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+
+# Tests never WRITE persistent compilation-cache entries: serializing
+# certain XLA:CPU executables segfaults inside
+# compilation_cache.put_executable_and_time once the process holds the
+# suite's hundreds of live executables — deterministic at
+# tests/test_fri.py::test_commit_decommit_verify in a full-suite run
+# (4/4 crashes at the same write, 2026-08-21), never reproducible in
+# any file-level subset.  Reads still hit whatever a previous session
+# compiled; a fresh machine's suite simply compiles in-process.  The
+# env var keeps stark_tpu/__init__ (imported later) from lowering the
+# threshold again.
+os.environ["STARK_TPU_CACHE_WRITE_THRESHOLD"] = str(10**9)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10**9)

@@ -252,16 +252,16 @@ class TestBatchedSpecs:
         with pytest.raises(ValueError, match="one family"):
             prove_batch(self.CFG, [MIMC_DECL(k=1), MIMC_DECL(k=2)])
 
-    def test_batch_rejects_wide_field(self):
-        # multi-column batching landed in r4 (tests/test_batch.py has the
-        # positive tribmul case); the remaining envelope limit is the
-        # 64-bit limb-plane field
+    def test_batch_rejects_wide_multicolumn(self):
+        # wide-field batching landed in r5 (tests/test_batch.py has the
+        # positive single-column Goldilocks cases); the remaining
+        # envelope limit is wide AND multi-column together
         from stark_tpu.config import ProverConfig
         from stark_tpu.stark import prove_batch
 
         g_cfg = ProverConfig(modulus=2**64 - 2**32 + 1, generator=7,
                              log2_trace=6, blowup=4, num_queries=3)
-        with pytest.raises(ValueError, match="2\\^32"):
+        with pytest.raises(ValueError, match="single-column"):
             prove_batch(g_cfg, [TRIBMUL(), TRIBMUL()])
 
 
