@@ -371,6 +371,16 @@ def main():
 
     if progcache.LAST_EVENTS:
         log(f"  program cache: {progcache.LAST_EVENTS}")
+    # cache attribution lives IN the artifact, not just stderr: a
+    # first-run wall that can't be tied to a cache state isn't evidence
+    # (r4 Weak #7 — the 66.5 s vs 202 s swing between the two r4 TPU
+    # runs was invisible cache state)
+    results[f"stark_prove_2e{log2_tr}_first_cache"] = dict(
+        progcache.LAST_EVENTS)
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if cache_dir and os.path.isdir(cache_dir):
+        results["xla_cache_entries"] = sum(
+            len(fs) for _, _, fs in os.walk(cache_dir))
     t_pv, t_pv_med, t_pv_spread = robust_wall(lambda: prove(cfg), reps=9)
     results[f"stark_prove_2e{log2_tr}_warm_ms"] = t_pv * 1e3
     results[f"stark_prove_2e{log2_tr}_warm_median_ms"] = t_pv_med * 1e3
@@ -577,6 +587,14 @@ def main():
             except Exception:
                 pass
 
+    # final snapshot of every cached-program event this run (hit/miss/off
+    # per program name) — cold walls for the later sections (FRI first,
+    # Goldilocks first, daemon) read against this
+    from stark_tpu.utils import progcache as _pc
+
+    if _pc.LAST_EVENTS:
+        results["progcache_events"] = dict(_pc.LAST_EVENTS)
+
     os.makedirs("benches", exist_ok=True)
     # quick/CPU runs must never clobber the TPU record (latest.json feeds
     # the README generator and the regression baseline)
@@ -615,7 +633,8 @@ def main():
         # against VERDICT thresholds in the probe artifacts instead)
         gated = {k: v for k, v in results.items()
                  if not any(s in k for s in ("spread", "median",
-                                             "host_baseline", "_first_s"))}
+                                             "host_baseline", "_first_s",
+                                             "cache_entries"))}
         for v in compare(gated, base_path, threshold=0.15):
             tag = v["verdict"].upper()
             if tag == "REGRESSED":
