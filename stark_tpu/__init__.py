@@ -68,7 +68,19 @@ def _is_cpu_default() -> bool:
     return not _os.environ.get("PALLAS_AXON_POOL_IPS")
 
 
-if not _os.environ.get("STARK_TPU_NO_COMPILE_CACHE"):
+if not _os.environ.get("STARK_TPU_NO_COMPILE_CACHE") and not _is_cpu_default():
+    # TPU sessions only.  CPU-default sessions (tests, dryrun, local
+    # verification) get NO XLA persistent cache at all: XLA:CPU
+    # executable serialization is unsound in this jaxlib — writes can
+    # SEGFAULT in put_executable_and_time once a process holds the
+    # suite's hundreds of live executables, and *reads* load AOT results
+    # whose compile-machine pseudo-features (+prefer-no-scatter/gather)
+    # never match the host probe (cpu_aot_loader warns "could lead to
+    # execution errors such as SIGILL" on every load; the r5 full-suite
+    # SIGABRT at tests/test_fri.py persisted with writes disabled but
+    # reads on).  Local CPU compiles are sub-second — the cache bought
+    # nothing there anyway.  The jax.export program cache
+    # (utils/progcache) is separate and stays on for both platforms.
     import jax as _jax
 
     _cache_base = _os.environ.get(
@@ -76,28 +88,20 @@ if not _os.environ.get("STARK_TPU_NO_COMPILE_CACHE"):
         _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                       _os.pardir, ".jax_cache"),
     )
-    if _is_cpu_default():
-        _cache_base = _os.path.join(
-            _cache_base, f"cpu-{_machine_fingerprint()}")
     _jax.config.update("jax_compilation_cache_dir", _cache_base)
-    # persist EVERYTHING: the prove dispatches ~40 small programs that
-    # compile in 2-4 s each — above any useful work threshold but below
-    # jax's 5 s default, so warm starts re-paid ~100 s of small compiles
-    # (measured 2026-08-20: no-mega first prove 113 s with a fully warm
-    # program cache; mega first 11 s because its ONE big program did
-    # persist).  TPU sessions use threshold 0: a warm 2^14 prove still
-    # re-paid ~11 sub-second jit_reshape compiles (~0.5 s each through
-    # the tunneled compile service) under threshold 1
-    # (benches/probe_warmcompile_r5).  CPU-default runs (tests, dryrun)
-    # keep threshold 1: serializing certain sub-second XLA:CPU sharded
-    # executables SEGFAULTS in put_executable_and_time (r5 suite crash
-    # at tests ~46%), and sub-second local compiles are cheap anyway.
-    # STARK_TPU_CACHE_WRITE_THRESHOLD overrides (tests set it huge so
-    # the suite never writes entries — see tests/conftest.py)
+    # persist EVERYTHING (threshold 0): the prove dispatches ~40 small
+    # programs that compile in 2-4 s each — above any useful work
+    # threshold but below jax's 5 s default, so warm starts re-paid
+    # ~100 s of small compiles (measured 2026-08-20: no-mega first prove
+    # 113 s with a fully warm program cache; mega first 11 s because its
+    # ONE big program did persist), and a warm 2^14 prove still re-paid
+    # ~11 sub-second jit_reshape compiles (~0.5 s each through the
+    # tunneled compile service) under threshold 1
+    # (benches/probe_warmcompile_r5).  STARK_TPU_CACHE_WRITE_THRESHOLD
+    # overrides.
     _jax.config.update(
         "jax_persistent_cache_min_compile_time_secs",
-        int(_os.environ.get("STARK_TPU_CACHE_WRITE_THRESHOLD",
-                            "1" if _is_cpu_default() else "0")))
+        int(_os.environ.get("STARK_TPU_CACHE_WRITE_THRESHOLD", "0")))
     # Also persist the backend-specific (Mosaic/Pallas) compilation
     # artifacts: measured on the tunneled v5e (benches/probe_compile_r3
     # session, 2026-08-19), a 2^21-node SHA kernel's second-process

@@ -190,6 +190,68 @@ def _build_jit(n: int, wide: bool = False, prune: int = 0):
                       (n, wide, prune))
 
 
+# -- chunked subtree hashing ---------------------------------------------------
+# The pruned build above never RETAINS the big levels, but it still
+# MATERIALIZES the full leaf-digest level as one array before reducing it
+# (sha256_u64_leaves -> levels_above): 2^28 leaves = 8 GiB transient, the
+# measured single-chip OOM bound for 2^25+-row proves
+# (benches/probe_bigtrace_r5.txt "2^26 OOM accounting").  The chunked
+# build sequentialises that transient: leaves are processed in m = n/2^c
+# chunks under ONE lax.map (a scan — XLA's live set is one chunk's
+# subtree plus the output), each chunk hashing 2^c consecutive leaves and
+# reducing them `prune` levels to its slice of the retained boundary
+# level.  Consecutive leaves -> consecutive boundary nodes, so the
+# result is byte-identical to build_levels_fn(n, wide, prune) (tested).
+# Peak digest live set: 2^c * 48 B (chunk) + 2^(log2(n)-prune) * 32 B
+# (boundary) instead of n * 48 B.
+
+# leaf levels at or above 2^_CHUNK_MIN_LOG leaves (4 GiB of digests)
+# build chunked; below it the one-shot builds are faster and fit
+_CHUNK_MIN_LOG = int(_os.environ.get("STARK_TPU_CHUNK_TREE_LOG", "27"))
+_CHUNK_LOG = 24  # 2^24-leaf chunks: 768 MB transient per chunk
+
+
+def build_levels_chunked_fn(n: int, wide: bool, prune: int,
+                            chunk_log: int = _CHUNK_LOG):
+    """Traceable chunked pruned tree build: same signature/result as
+    ``build_levels_fn(n, wide, prune)`` but the dropped levels are never
+    materialised whole.  Requires power-of-two n and
+    prune <= chunk_log <= log2(n)."""
+    chunk_log = min(chunk_log, n.bit_length() - 1)
+    if chunk_log < prune:
+        chunk_log = prune
+    s, m = 1 << chunk_log, n >> chunk_log
+    if s * m != n:
+        raise ValueError(f"chunked build needs power-of-two n, got {n}")
+
+    def reduce_chunk(level):
+        for _ in range(prune):
+            level = sha256_pairs(level[0::2], level[1::2])
+        return level  # (s >> prune, 8)
+
+    def build(values):
+        if wide:
+            chunks = (values[0].reshape(m, s), values[1].reshape(m, s))
+            fn = lambda hl: reduce_chunk(sha256_u64_leaves(hl[0], hl[1]))
+        else:
+            chunks = values.reshape(m, s)
+            fn = lambda lo: reduce_chunk(
+                sha256_u64_leaves(jnp.zeros_like(lo), lo))
+        boundary = jax.lax.map(fn, chunks).reshape(n >> prune, 8)
+        return tuple([boundary] + levels_above(boundary, n >> prune))
+
+    return build
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chunked_jit(n: int, wide: bool, prune: int,
+                       chunk_log: int = _CHUNK_LOG):
+    from stark_tpu.utils.progcache import cached_jit
+
+    return cached_jit(build_levels_chunked_fn(n, wide, prune, chunk_log),
+                      "tree-build-chunked", (n, wide, prune, chunk_log))
+
+
 def build_columns_fn(n: int, prune: int = 0):
     """The raw (traceable) multi-column tree build: (c, n) uint32 values
     — or (c, 2, n) hi/lo limb planes — -> digest levels; leaf i =
@@ -248,7 +310,12 @@ class MerkleTree:
                 raise ValueError(
                     f"prune={self.prune} needs a power-of-two leaf count "
                     f">= 2^prune, got {n}")
-            if _use_pallas_build(n, values):
+            if self.prune and n >= (1 << _CHUNK_MIN_LOG):
+                # leaf-digest level alone would be >= 4 GiB transient:
+                # sequential chunked subtrees instead of one-shot builds
+                self.levels = _build_chunked_jit(n, wide, self.prune)(values)
+                self.layouts = ("aos",) * len(self.levels)
+            elif _use_pallas_build(n, values):
                 from stark_tpu.hash.pallas_sha import build_tree_bitrev
 
                 self.levels = build_tree_bitrev(values, prune=self.prune)

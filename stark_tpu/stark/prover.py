@@ -447,7 +447,15 @@ def _mega_setup(cfg, air, ctx, f_evals, offsets, rng, fri_lengths,
     def single_build(n):
         """(build_fn, prev, prune) for a single-codeword tree of n
         leaves, mirroring MerkleTree's dispatch."""
+        from stark_tpu.merkle.tree import (_CHUNK_MIN_LOG,
+                                           build_levels_chunked_fn)
+
         prune = prune_depth_for(n)
+        if prune and n >= (1 << _CHUNK_MIN_LOG):
+            # the one-shot builds materialise the full n*32 B leaf-digest
+            # level transiently (>= 4 GiB here) — the measured 2^25+-row
+            # OOM; chunked subtrees keep the live set at one chunk
+            return build_levels_chunked_fn(n, wide, prune), 0, prune
         if _use_pallas_build(n, f_evals):
             from stark_tpu.hash.pallas_sha import build_tree_bitrev
 

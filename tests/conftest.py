@@ -23,15 +23,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
 
-# Tests never WRITE persistent compilation-cache entries: serializing
-# certain XLA:CPU executables segfaults inside
-# compilation_cache.put_executable_and_time once the process holds the
-# suite's hundreds of live executables — deterministic at
-# tests/test_fri.py::test_commit_decommit_verify in a full-suite run
-# (4/4 crashes at the same write, 2026-08-21), never reproducible in
-# any file-level subset.  Reads still hit whatever a previous session
-# compiled; a fresh machine's suite simply compiles in-process.  The
-# env var keeps stark_tpu/__init__ (imported later) from lowering the
-# threshold again.
-os.environ["STARK_TPU_CACHE_WRITE_THRESHOLD"] = str(10**9)
+# No XLA persistent compilation cache in tests — neither writes nor
+# reads.  XLA:CPU executable serialization is unsound in this jaxlib:
+# writes SEGFAULT in put_executable_and_time once the process holds the
+# suite's hundreds of live executables (deterministic at
+# tests/test_fri.py::test_commit_decommit_verify, 4/4 full-suite runs
+# 2026-08-21), and with writes disabled the suite STILL aborted inside
+# backend_compile_and_load while cached AOT entries from earlier
+# sessions were being loaded (cpu_aot_loader warns "could lead to
+# execution errors such as SIGILL" on every such load).
+# stark_tpu/__init__ now skips the XLA cache wholesale for CPU-default
+# sessions (the jax.export program cache — utils/progcache — is a
+# separate mechanism and stays available); the lines below are
+# belt-and-braces against anything else configuring a cache dir.
+jax.config.update("jax_compilation_cache_dir", None)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10**9)

@@ -94,3 +94,61 @@ def test_pruned_prove_byte_identical_goldilocks(monkeypatch):
     full, pruned = _transcripts(cfg)
     assert full.proof == pruned.proof
     assert verify(pruned)
+
+
+def test_chunked_build_matches_oneshot_narrow():
+    """build_levels_chunked_fn == build_levels_fn[prune:] byte-for-byte
+    (the 2^25+ OOM fix must not change a single digest)."""
+    n, prune = 1 << 10, 4
+    vals = jnp.asarray(np.random.RandomState(7).randint(0, 2**31, n),
+                       dtype=jnp.uint32)
+    ref = mt.build_levels_fn(n, wide=False, prune=prune)(vals)
+    for chunk_log in (prune, 6, 8, 10):
+        got = mt.build_levels_chunked_fn(n, False, prune, chunk_log)(vals)
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), chunk_log
+
+
+def test_chunked_build_matches_oneshot_wide():
+    n, prune = 1 << 9, 3
+    rs = np.random.RandomState(11)
+    vals = jnp.asarray(
+        np.stack([rs.randint(0, 2**31, n), rs.randint(0, 2**31, n)]),
+        dtype=jnp.uint32)
+    ref = mt.build_levels_fn(n, wide=True, prune=prune)(vals)
+    got = mt.build_levels_chunked_fn(n, True, prune, chunk_log=6)(vals)
+    for a, b in zip(got, ref):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunked_routing_engages_above_threshold(monkeypatch):
+    """MerkleTree routes huge pruned builds through the chunked path and
+    the tree is indistinguishable (root, levels, layouts)."""
+    monkeypatch.setattr(mt, "_CHUNK_MIN_LOG", 8)
+    vals = jnp.arange(512, dtype=jnp.uint32)
+    chunked = MerkleTree(vals, prune=3)
+    monkeypatch.setattr(mt, "_CHUNK_MIN_LOG", 27)
+    normal = MerkleTree(vals, prune=3)
+    assert chunked.layouts == ("aos",) * len(chunked.levels)
+    assert chunked.root() == normal.root()
+    for a, b in zip(chunked.levels, normal.levels):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chunked_prove_byte_identical(monkeypatch):
+    """A prove whose big trees build via chunked subtrees (the 2^25+-row
+    single-chip path) is byte-identical to the full-storage transcript,
+    for both field widths."""
+    for cfg in (ProverConfig(log2_trace=8, blowup=4, num_queries=6),
+                ProverConfig(modulus=2**64 - 2**32 + 1, generator=7,
+                             log2_trace=8, blowup=4, num_queries=4)):
+        monkeypatch.setattr(mt, "PRUNE_KEEP_LOG", 99)
+        full = prove(cfg)
+        monkeypatch.setattr(mt, "PRUNE_KEEP_LOG", 3)
+        monkeypatch.setattr(mt, "_CHUNK_MIN_LOG", 6)  # every tree chunks
+        chunked = prove(cfg)
+        assert prover_mod.LAST_PROVE_PATH in ("single-fetch", "mega")
+        monkeypatch.setattr(mt, "_CHUNK_MIN_LOG", 27)
+        assert full.proof == chunked.proof
+        assert verify(chunked)
